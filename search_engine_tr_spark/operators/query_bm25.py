@@ -1,0 +1,105 @@
+"""Distributed BM25 top-k over the packed block index.
+
+Query lifecycle (Spark mapping of SURVEY.md §3.1):
+1. normalize the raw query with the SAME function as the oracle
+   (functions.text.normalize_query — CLI parity, client_CLI.py:30-32)
+2. look up df/term_bucket for the query terms (tiny scan of term_stats,
+   predicate pushed down) → idf per term, candidate bucket list
+3. read ONLY the matching ``term_bucket=`` partitions of the blocks table
+   (directory-level partition pruning — the scalable replacement for the
+   reference's 27-table routing) with a pushed-down term filter
+4. per doc-shard: block-max WAND (or exhaustive) local top-k inside one
+   Arrow-batched applyInPandas group — each head term's postings are split
+   across all shards, so no task sees more than df/n_shards postings
+5. global ``orderBy(score desc, doc_id).limit(k)`` → TakeOrderedAndProject
+   (no full sort), then metadata joins AFTER the limit (J3 pattern).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import normalize_query
+from ..oracle.refscore import bm25_idf
+from ..plans.index_build import IndexPaths
+from .wand import exhaustive_topk, wand_topk
+
+_RESULT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+
+class BM25Index:
+    """Reader over an index directory produced by plans.index_build."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        with open(self.paths.meta) as f:
+            self.meta = json.load(f)
+        self.n_docs = int(self.meta["n_docs"])
+        self.avgdl = float(self.meta["avgdl"])
+
+    # -- query plumbing ----------------------------------------------------
+    def query_terms(self, raw_query: str) -> list[str]:
+        """Unique engine-mode terms, first-appearance order."""
+        return list(dict.fromkeys(t for t in normalize_query(raw_query) if t))
+
+    def _term_meta(self, terms: list[str]) -> list[tuple[str, int, int]]:
+        """[(term, df, term_bucket)] for terms present in the index."""
+        if not terms:
+            return []
+        rows = (self.spark.read.parquet(self.paths.term_stats)
+                .filter(F.col("term").isin(terms))
+                .collect())
+        by_term = {r["term"]: r for r in rows}
+        return [(t, int(by_term[t]["df"]), int(by_term[t]["term_bucket"]))
+                for t in terms if t in by_term]
+
+    def search(self, raw_query: str, k: int = 10,
+               mode: str = "wand") -> DataFrame:
+        """→ DataFrame(doc_id, score) — global top-k, (score desc, doc_id asc)."""
+        terms = self.query_terms(raw_query)
+        tmeta = self._term_meta(terms)
+        if not tmeta:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        idfs = {t: bm25_idf(self.n_docs, df) for t, df, _ in tmeta}
+        buckets = sorted({b for _, _, b in tmeta})
+        term_list = [t for t, _, _ in tmeta]
+
+        blocks = (self.spark.read.parquet(self.paths.blocks)
+                  .filter(F.col("term_bucket").isin(buckets))
+                  .filter(F.col("term").isin(term_list)))
+
+        avgdl = self.avgdl
+        kernel = wand_topk if mode == "wand" else exhaustive_topk
+        term_order = {t: i for i, t in enumerate(term_list)}
+
+        def shard_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["term", "block_no"], kind="mergesort")
+            per_term: dict[str, list] = {}
+            for term, max_doc, max_tfn, buf in zip(
+                    pdf["term"], pdf["max_doc_id"], pdf["max_tfnorm"], pdf["block"]):
+                per_term.setdefault(term, []).append(
+                    (int(max_doc), float(max_tfn), bytes(buf)))
+            tb = sorted(per_term.items(), key=lambda kv: term_order[kv[0]])
+            top = kernel([(idfs[t], blks) for t, blks in tb], k, avgdl)
+            return pd.DataFrame(top, columns=["doc_id", "score"])
+
+        local = blocks.groupBy("shard").applyInPandas(shard_topk, _RESULT_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_with_urls(self, raw_query: str, k: int = 10,
+                         mode: str = "wand") -> DataFrame:
+        """Top-k + url — metadata join AFTER the limit (tiny broadcast)."""
+        top = self.search(raw_query, k, mode)
+        doc_map = self.spark.read.parquet(self.paths.doc_map)
+        return (top.join(doc_map, "doc_id", "left")
+                .orderBy(F.desc("score"), F.asc("doc_id")))

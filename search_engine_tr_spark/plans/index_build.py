@@ -1,0 +1,237 @@
+"""Inverted-index build: pages → occurrences → postings → posting blocks.
+
+Spark-first layout (vs the reference's one-DB-row-per-occurrence,
+indexer.py:28-38):
+
+- ``doc_map``     (url, doc_id)                    dense stable ids (docids.py)
+- ``postings``    (doc_id, term, tf, positions, tags)   flat logical index
+- ``doclens``     (doc_id, dl)
+- ``term_stats``  (term, df, term_bucket)          exact df for BM25 idf
+- ``blocks``      (term, shard, block_no, n, max_doc_id, max_tfnorm, block)
+                  parquet partitioned BY term_bucket → query-term partition
+                  pruning, the scalable replacement for the reference's
+                  27-way first-letter routing (src/models/db.py:105-114)
+
+Skew strategy (north rule): every term's posting list is doc-sharded into
+``n_shards`` sub-lists (shard = pmod(xxhash64(doc_id), S)) that are merged
+at score time by the global top-k — this IS the "split a head term's
+postings into term#salt sub-lists" salting: a Zipfian head term occupying
+50% of documents costs any single task at most df/S postings, and the block
+builder groups by (term_bucket, shard) so no pandas group ever holds more
+than one bucket of one shard. Skew ratios (max/mean postings per bucket and
+per shard) are measured and reported in the build metrics.
+
+Scale notes (100 TB / 1000 executors):
+- tokenize+explode is a map-only stage (no shuffle) feeding a partial-agg
+  groupBy — the only wide exchanges are groupBy(doc_id, term) and the
+  (term_bucket, shard) repartition for block packing.
+- blocks parquet is written with data-change-friendly deterministic content;
+  rewriting a shard is idempotent (resume support in checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codec import BLOCK_SIZE, encode_block
+from ..functions.text import extract_text_udf, tokenize_udf
+from ..oracle.refscore import BM25_B, BM25_K1
+from .docids import assign_doc_ids
+from .stats import corpus_stats, doc_lengths, term_stats
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def doc_map(self) -> str: return os.path.join(self.root, "doc_map")
+    @property
+    def postings(self) -> str: return os.path.join(self.root, "postings")
+    @property
+    def doclens(self) -> str: return os.path.join(self.root, "doclens")
+    @property
+    def term_stats(self) -> str: return os.path.join(self.root, "term_stats")
+    @property
+    def blocks(self) -> str: return os.path.join(self.root, "blocks")
+    @property
+    def meta(self) -> str: return os.path.join(self.root, "meta.json")
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """Fill the ``text`` column (byte-identical per url, input_hint)."""
+    return pages.withColumn("text", extract_text_udf(F.col("html")))
+
+
+def occurrences_from_pages(pages: DataFrame) -> DataFrame:
+    """pages → (url, word, loc, tag), empty-body guard per indexer.py:19-22."""
+    toks = (pages
+            .filter(F.col("html").isNotNull())
+            .select("url", F.explode(tokenize_udf(F.col("html"))).alias("t")))
+    return toks.select(
+        "url",
+        F.col("t.word").alias("word"),
+        F.col("t.loc").alias("loc"),
+        F.col("t.tag").alias("tag"),
+    )
+
+
+def postings_from_occurrences(occ: DataFrame, doc_map: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, positions, tags) — A1: positions sorted ascending,
+    tags aligned to positions (struct-sort keeps pairs together)."""
+    joined = occ.join(doc_map, "url")
+    return (joined
+            .groupBy("doc_id", F.col("word").alias("term"))
+            .agg(
+                F.count("*").cast("int").alias("tf"),
+                F.sort_array(F.collect_list(F.struct("loc", "tag"))).alias("_occ"),
+            )
+            .select(
+                "doc_id", "term", "tf",
+                F.col("_occ.loc").alias("positions"),
+                F.col("_occ.tag").alias("tags"),
+            ))
+
+
+_BLOCK_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("term_bucket", T.IntegerType(), False),
+    T.StructField("shard", T.IntegerType(), False),
+    T.StructField("block_no", T.IntegerType(), False),
+    T.StructField("n", T.IntegerType(), False),
+    T.StructField("max_doc_id", T.LongType(), False),
+    T.StructField("max_tfnorm", T.DoubleType(), False),
+    T.StructField("block", T.BinaryType(), False),
+])
+
+
+def _block_packer(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
+    """applyInPandas fn: one (term_bucket, shard) group → packed blocks.
+
+    max_tfnorm is the term-independent part of the BM25 impact upper bound;
+    at query time block max impact = idf(term) * max_tfnorm (exact bound).
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
+        tfnorm = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        bucket = int(pdf["term_bucket"].iloc[0])
+        shard = int(pdf["shard"].iloc[0])
+        rows = []
+        # term boundaries in the sorted frame
+        terms = pdf["term"].to_numpy()
+        starts = np.nonzero(np.concatenate(([True], terms[1:] != terms[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(terms)]))
+        for s, e in zip(starts, ends):
+            term = terms[s]
+            for bno, off in enumerate(range(s, e, BLOCK_SIZE)):
+                hi = min(off + BLOCK_SIZE, e)
+                blk_docs = docs[off:hi].astype(np.uint64)
+                blk = encode_block(blk_docs, tfs[off:hi].astype(np.uint64),
+                                   dls[off:hi].astype(np.uint64))
+                rows.append((term, bucket, shard, bno, int(hi - off),
+                             int(docs[hi - 1]), float(tfnorm[off:hi].max()), blk))
+        return pd.DataFrame(rows, columns=[f.name for f in _BLOCK_SCHEMA.fields])
+
+    return pack
+
+
+def build_blocks(postings: DataFrame, doclens: DataFrame, avgdl: float,
+                 n_shards: int, term_buckets: int) -> DataFrame:
+    enriched = (postings.select("doc_id", "term", "tf")
+                .join(doclens, "doc_id")
+                .withColumn("shard",
+                            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
+                .withColumn("term_bucket",
+                            F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")))
+    return (enriched
+            .groupBy("term_bucket", "shard")
+            .applyInPandas(_block_packer(avgdl), schema=_BLOCK_SCHEMA))
+
+
+def _skew_ratio(df: DataFrame, key: str) -> float:
+    row = (df.groupBy(key).count()
+           .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+           .collect()[0])
+    return float(row["mx"] / row["mean"]) if row["mean"] else 0.0
+
+
+def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
+                n_shards: int = 32, term_buckets: int = 64,
+                collect_metrics: bool = True) -> dict:
+    """Full build. Writes all index tables under ``out_dir``; returns metrics."""
+    paths = IndexPaths(out_dir)
+    t0 = time.monotonic()
+
+    doc_map = assign_doc_ids(pages)
+    doc_map.write.mode("overwrite").parquet(paths.doc_map)
+    doc_map = spark.read.parquet(paths.doc_map)
+
+    occ = occurrences_from_pages(pages)
+    postings = postings_from_occurrences(occ, doc_map)
+    postings.write.mode("overwrite").parquet(paths.postings)
+    postings = spark.read.parquet(paths.postings)
+
+    doclens = doc_lengths(postings)
+    doclens.write.mode("overwrite").parquet(paths.doclens)
+    doclens = spark.read.parquet(paths.doclens)
+
+    stats = corpus_stats(doclens)
+
+    tstats = (term_stats(postings)
+              .withColumn("term_bucket",
+                          F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")))
+    tstats.write.mode("overwrite").parquet(paths.term_stats)
+
+    blocks = build_blocks(postings, doclens, stats.avgdl, n_shards, term_buckets)
+    (blocks.write.mode("overwrite")
+     .partitionBy("term_bucket")
+     .parquet(paths.blocks))
+
+    elapsed = time.monotonic() - t0
+    n_pages = pages.count()
+    metrics = {
+        "n_docs": stats.n_docs,
+        "n_pages": n_pages,
+        "avgdl": stats.avgdl,
+        "total_postings": stats.total_postings,
+        "n_shards": n_shards,
+        "term_buckets": term_buckets,
+        "block_size": BLOCK_SIZE,
+        "k1": BM25_K1,
+        "b": BM25_B,
+        "build_sec": elapsed,
+        "docs_per_sec": n_pages / elapsed if elapsed else 0.0,
+        "postings_per_sec": stats.total_postings / elapsed if elapsed else 0.0,
+    }
+    if collect_metrics:
+        p = spark.read.parquet(paths.postings)
+        metrics["skew_term_bucket"] = _skew_ratio(
+            p.withColumn("term_bucket",
+                         F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")),
+            "term_bucket")
+        metrics["skew_shard"] = _skew_ratio(
+            p.withColumn("shard",
+                         F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")),
+            "shard")
+    with open(paths.meta, "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics
+
+
+def load_meta(out_dir: str) -> dict:
+    with open(IndexPaths(out_dir).meta) as f:
+        return json.load(f)
