@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the engine's headline paths:
+- synthetic-pages inverted-index build (docs/s, postings/s)
+- BM25 top-k query latency over the built index (p50/p95 over the
+  reference query set, block-max WAND path)
+- representative operator queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_PAGES (default 12000 — synthetic index-build corpus size),
+     BENCH_OUT (default /tmp/bench_index).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("BENCH_PAGES", "12000"))
+OUT = os.environ.get("BENCH_OUT", "/tmp/bench_index")
+
+
+def main() -> None:
+    from search_engine_tr_spark.operators.query_bm25 import BM25Index
+    from search_engine_tr_spark.plans.index_build import build_index
+    from search_engine_tr_spark.session import get_spark
+    from search_engine_tr_spark.sources.synth import (
+        pages_df_dist, reference_queries)
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- index build over synthetic pages (generation NOT timed) ----------
+    pages_path = f"{OUT}_pages_{N_PAGES}"
+    if not os.path.exists(pages_path):
+        pages_df_dist(spark, N_PAGES, seed=42).write.mode(
+            "overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    shutil.rmtree(OUT, ignore_errors=True)
+    t0 = time.monotonic()
+    metrics = build_index(spark, pages, OUT, n_shards=CPUS,
+                          term_buckets=64, collect_metrics=False)
+    timings["index_build"] = time.monotonic() - t0
+    extras["docs_per_sec"] = N_PAGES / timings["index_build"]
+    extras["postings_per_sec"] = metrics["total_postings"] / timings["index_build"]
+
+    # -- BM25 query latency over the built index --------------------------
+    idx = BM25Index(spark, OUT)
+    lat = []
+    qset = reference_queries() + ["haber spor", "ekonomi dünya türkiye"]
+    idx.search("haber", k=10).collect()  # warm the reader paths
+    for q in qset:
+        t0 = time.monotonic()
+        idx.search(q, k=10, mode="wand").collect()
+        lat.append(time.monotonic() - t0)
+    timings["bm25_query_total"] = sum(lat)
+    extras["bm25_p50_ms"] = statistics.median(lat) * 1000
+    extras["bm25_p95_ms"] = sorted(lat)[max(0, int(len(lat) * 0.95) - 1)] * 1000
+
+    # -- representative operator queries at SF_DIR ------------------------
+    qreg = entry_mod.queries()
+    headline = [
+        "bm25_docs", "postings", "broadcast_join_agg", "groupagg_pricing",
+        "topk_orders", "tumbling_window", "token_jaccard", "minhash_lsh",
+        "cosine_topk", "exact_dup_groups", "lang_id", "token_count",
+    ]
+    for name in headline:
+        t0 = time.monotonic()
+        qreg[name](spark, SF_DIR).collect()
+        timings[name] = time.monotonic() - t0
+
+    total = sum(timings.values())
+    print(json.dumps({
+        "metric": "index-build + BM25 top-k + operator suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "extras": {k: round(v, 3) for k, v in extras.items()},
+        "config": {"cpus": CPUS, "bench_pages": N_PAGES,
+                   "total_postings": metrics["total_postings"]},
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

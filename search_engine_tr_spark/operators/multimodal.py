@@ -1,0 +1,127 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
+signatures, partitioning) is real and tested; the actual media decoding is
+STUBBED — image/audio libraries are not available in this environment, so
+``_decode_image_stub`` derives a deterministic fake feature vector from the
+payload bytes (byte-histogram). Swap ``_decode_image_stub`` for a
+PIL/torchvision call in production; nothing else changes.
+
+Scale notes: mapInPandas streams Arrow batches through one Python worker
+per partition — batch size is bounded by spark.sql.execution.arrow.
+maxRecordsPerBatch so a partition of large payloads never materializes at
+once. Repartition by a size-balancing key (payload length bucket) before
+heavy decode to avoid stragglers from mixed media sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),      # image | audio | video
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]), True),
+])
+
+N_FEATURES = 16
+
+
+def _decode_image_stub(payload: bytes) -> np.ndarray:
+    """STUB: deterministic byte-histogram features instead of a real decode.
+
+    Production: ``PIL.Image.open(io.BytesIO(payload))`` → resize → model.
+    Raises on None payload like a real decoder would on corrupt input.
+    """
+    if payload is None:
+        raise ValueError("null payload")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(N_FEATURES, dtype=np.float32)
+    hist, _ = np.histogram(arr, bins=N_FEATURES, range=(0, 256))
+    return (hist / arr.size).astype(np.float32)
+
+
+_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("features", T.ArrayType(T.FloatType()), False),
+])
+
+
+def extract_features(media: DataFrame, skip_errors: bool = True) -> DataFrame:
+    """(media_id, kind, n_bytes, features) via mapInPandas over Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                try:
+                    feats = _decode_image_stub(
+                        bytes(payload) if payload is not None else None)
+                except ValueError:
+                    if skip_errors:
+                        continue
+                    raise
+                rows.append((int(mid), kind,
+                             len(payload) if payload is not None else 0,
+                             feats.tolist()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "n_bytes", "features"])
+
+    return media.select("media_id", "kind", "payload") \
+        .mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def size_balanced(media: DataFrame, partitions: int) -> DataFrame:
+    """Repartition so large payloads spread evenly (anti-straggler)."""
+    return (media
+            .withColumn("_szb", (F.log2(F.length("payload") + 1)).cast("int"))
+            .repartition(partitions, "_szb", "media_id")
+            .drop("_szb"))
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video → (media_id, frame_ts_ms) sampling plan from metadata only
+    (decode stubbed; the plan is what the cluster schedules)."""
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        F.greatest(F.coalesce(F.col("meta.duration_ms"),
+                                              F.lit(0)) - 1, F.lit(0)),
+                        F.lit(every_ms))).alias("frame_ts_ms")))
+
+
+def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests/bench."""
+    import random
+
+    rng = random.Random(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 2048)))
+        meta = {
+            "width": rng.randint(16, 1920) if kind == "image" else None,
+            "height": rng.randint(16, 1080) if kind == "image" else None,
+            "duration_ms": rng.randint(500, 10000) if kind != "image" else None,
+            "codec": {"image": "png", "audio": "opus", "video": "h264"}[kind],
+        }
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact cosine top-k — native column math
+  (zip_with/aggregate), no UDF; the correctness baseline.
+- ``lsh_cosine_topk``: random-hyperplane LSH bucketing — the scale path.
+  Planes are derived deterministically from a seed (no runtime RNG); query
+  probes its own bucket plus optional multiprobe neighbors. Approximate:
+  property-tested for recall against brute force, no SQL oracle.
+- ``pairwise_cosine_dupes``: embedding near-duplicate pairs ≥ threshold
+  via the same LSH buckets.
+
+At cluster scale the brute-force path is a single map + TakeOrdered
+(no shuffle); LSH turns the scan into a bucket-pruned scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def with_cosine(df: DataFrame, query_vec: list[float],
+                vec_col: str = "embedding", out: str = "cosine") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    return df.withColumn(
+        out,
+        _dot(F.col(vec_col).cast("array<double>"), q) /
+        (_norm(F.col(vec_col).cast("array<double>")) * F.lit(qn)))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k → (id, cosine), (cosine desc, id asc)."""
+    return (with_cosine(df, query_vec, vec_col)
+            .select(F.col(id_col), F.col("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_col(vec_col, planes: np.ndarray):
+    """Sign-pattern bucket id as a long (≤ 63 planes)."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec_col,
+                       F.array(*[F.lit(float(x)) for x in p]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(dot >= 0,
+                           F.shiftleft(F.lit(1).cast("long"), i))
+                    .otherwise(F.lit(0).cast("long")))
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 8, seed: int = 42,
+                    multiprobe: int = 1) -> DataFrame:
+    """Approximate cosine top-k: scan only vectors whose hyperplane
+    sign-bucket is within Hamming ≤ multiprobe of the query's bucket."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbits = int(sum(1 << i for i, p in enumerate(planes) if float(p @ q) >= 0))
+    bucketed = df.withColumn(
+        "_bucket", _bucket_col(F.col(vec_col).cast("array<double>"), planes))
+    probe = bucketed.filter(
+        F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbits))) <= multiprobe)
+    return (with_cosine(probe, query_vec, vec_col)
+            .select(F.col(id_col), F.col("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
+def pairwise_cosine_dupes(df: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs ≥ threshold, candidates from shared LSH
+    bucket (approximate recall, exact precision). → (id_a, id_b, cosine)."""
+    planes = _planes(df.select(F.size(vec_col)).first()[0], n_planes, seed)
+    b = df.withColumn(
+        "_bucket", _bucket_col(F.col(vec_col).cast("array<double>"), planes))
+    x = b.select(F.col(id_col).alias("id_a"),
+                 F.col(vec_col).alias("v_a"), "_bucket")
+    y = b.select(F.col(id_col).alias("id_b"),
+                 F.col(vec_col).alias("v_b"), "_bucket")
+    cand = x.join(y, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+    va = F.col("v_a").cast("array<double>")
+    vb = F.col("v_b").cast("array<double>")
+    return (cand.withColumn("cosine", _dot(va, vb) / (_norm(va) * _norm(vb)))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

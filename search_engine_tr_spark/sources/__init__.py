@@ -3,6 +3,7 @@ from .synth import (  # noqa: F401
     gen_links,
     pages_schema,
     pages_df,
+    pages_df_dist,
     links_df,
     write_pages_parquet,
     reference_queries,

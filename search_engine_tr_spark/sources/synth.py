@@ -86,7 +86,11 @@ def _sentence(rng: random.Random, vocab: list[str], weights: list[float],
     words = rng.choices(vocab, weights=weights, k=n_words)
     parts = []
     for w in words:
-        if rng.random() < 0.10:
+        if rng.random() < 0.02:
+            # explicit dotted-capital-İ tokens (Python's ASCII upper() never
+            # produces İ) — exercises the İ-lowercasing bug (crawler.py:132)
+            w = rng.choice(["İzmir", "İstanbul", "İNDİRİM", "İyi"])
+        elif rng.random() < 0.10:
             w = w.upper() if rng.random() < 0.4 else w.capitalize()
         if rng.random() < 0.12:
             w += rng.choice(_PUNCT)
@@ -136,33 +140,47 @@ def _page_html(rng: random.Random, vocab: list[str], weights: list[float],
     )
 
 
+class _GenCtx:
+    """Shared deterministic generation context (vocab/weights/domains).
+
+    Page i is generated from its own ``Random((seed << 32) ^ i)`` so
+    generation is per-page independent → distributable with mapInPandas
+    (no sequential RNG state)."""
+
+    def __init__(self, n: int, seed: int):
+        self.n = n
+        self.seed = seed
+        self.vocab = build_vocab(seed=seed)
+        self.weights = _zipf_weights(len(self.vocab))
+        self.domains = _domains(n, random.Random(seed), self.vocab)
+
+
+def gen_page(i: int, ctx: _GenCtx) -> dict:
+    rng = random.Random((ctx.seed << 32) ^ i)
+    domain = ctx.domains[i % len(ctx.domains)]
+    url = f"https://{domain}/sayfa-{i}"
+    big = i == 17 and ctx.n > 20  # one >100k-char doc (truncation path)
+    lang = "en" if rng.random() < 0.08 else "tr"
+    html = _page_html(rng, ctx.vocab, ctx.weights, ctx.domains, domain, big)
+    if lang == "en":
+        html = html.replace("<h1>", f"<h1>{' '.join(rng.choices(_EN_WORDS, k=6))} ")
+    if i % 47 == 13:  # ISO-8859-9 body → utf-8 errors="ignore" decode path
+        body = html.encode("iso-8859-9", errors="replace")
+    else:
+        body = html.encode("utf-8")
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + timedelta(minutes=i),
+        "html": body,
+        "text": None,
+        "lang": lang,
+    }
+
+
 def gen_pages(n: int, seed: int = 42) -> list[dict]:
     """Deterministic pages rows: url, warc_ts, html(bytes), text(None), lang."""
-    rng = random.Random(seed)
-    vocab = build_vocab(seed=seed)
-    weights = _zipf_weights(len(vocab))
-    domains = _domains(n, rng, vocab)
-    pages = []
-    for i in range(n):
-        domain = domains[i % len(domains)]
-        url = f"https://{domain}/sayfa-{i}"
-        big = i == 17 and n > 20  # one >100k-char doc (truncation path)
-        lang = "en" if rng.random() < 0.08 else "tr"
-        html = _page_html(rng, vocab, weights, domains, domain, big)
-        if lang == "en":
-            html = html.replace("<h1>", f"<h1>{' '.join(rng.choices(_EN_WORDS, k=6))} ")
-        if i % 47 == 13:  # ISO-8859-9 body → utf-8 errors="ignore" decode path
-            body = html.encode("iso-8859-9", errors="replace")
-        else:
-            body = html.encode("utf-8")
-        pages.append({
-            "url": url,
-            "warc_ts": _EPOCH + timedelta(minutes=i),
-            "html": body,
-            "text": None,
-            "lang": lang,
-        })
-    return pages
+    ctx = _GenCtx(n, seed)
+    return [gen_page(i, ctx) for i in range(n)]
 
 
 def gen_links(pages: list[dict]) -> list[dict]:
@@ -232,9 +250,26 @@ def links_df(spark, pages: list[dict]):
     return spark.createDataFrame(gen_links(pages), schema=schema)
 
 
+def pages_df_dist(spark, n: int, seed: int = 42, partitions: int | None = None):
+    """Distributed page synthesis: spark.range(n) → mapInPandas(gen_page).
+    Same rows as gen_pages(n, seed) (per-page independent RNG); scales to
+    millions of pages without driver memory."""
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        ctx = _GenCtx(n, seed)
+        for pdf in batches:
+            rows = [gen_page(int(i), ctx) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html",
+                                              "text", "lang"])
+
+    return (spark.range(n).repartition(parts)
+            .mapInPandas(gen, schema=pages_schema()))
+
+
 def write_pages_parquet(spark, path: str, n: int, seed: int = 42,
                         partitions: int | None = None) -> None:
-    df = pages_df(spark, n, seed)
-    if partitions:
-        df = df.repartition(partitions)
+    df = pages_df_dist(spark, n, seed, partitions)
     df.write.mode("overwrite").parquet(path)

@@ -1,0 +1,145 @@
+"""Training-data pipeline operators: dedup, similarity, textstats,
+multimodal plumbing — small-data correctness vs pure-python oracles."""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_tr_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "elma armut kiraz elma", "tr"),
+        (2, "elma armut kiraz elma", "tr"),          # exact dup of 1
+        (3, "elma armut kiraz muz", "tr"),           # near dup of 1
+        (4, "the quick brown fox jumps over the lazy dog", "en"),
+        (5, "tamamen farklı bir metin ve içerik bu da", "tr"),
+        (6, "", "tr"),
+        (7, "elma armut kiraz elma", "tr"),          # another exact dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5, 6]
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dupes"] == 3 and groups[0]["keeper"] == 1
+
+
+def _py_jaccard(a: str, b: str) -> float:
+    import re
+    ta = {t for t in re.split(r"[^\w]+", a.lower()) if t}
+    tb = {t for t in re.split(r"[^\w]+", b.lower()) if t}
+    if not ta or not tb:
+        return 0.0
+    return len(ta & tb) / len(ta | tb)
+
+
+def test_token_jaccard_pairs(spark, docs):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.token_jaccard_pairs(docs, threshold=0.5).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    expected = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = _py_jaccard(texts[a], texts[b])
+        if j >= 0.5 and texts[a] and texts[b]:
+            expected[(a, b)] = j
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k])
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.minhash_lsh_pairs(
+                 docs.filter(F.col("text") != ""),
+                 num_hashes=32, bands=16, threshold=0.4,
+                 shingle_k=2).collect()}
+    # exact dups share all shingles → jaccard 1.0, must always be caught
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 7)] == 1.0 and pairs[(2, 7)] == 1.0
+    for (a, b), j in pairs.items():
+        assert j >= 0.4 and a < b
+
+
+def test_simhash_near_pairs(spark, docs):
+    got = dedup.simhash_near_pairs(docs.filter(F.col("text") != ""),
+                                   max_hamming=3).collect()
+    ids = {(r["id_a"], r["id_b"]): r["hamming"] for r in got}
+    assert ids[(1, 2)] == 0 and ids[(1, 7)] == 0 and ids[(2, 7)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    vecs[10] = vecs[3] * 2.0         # same direction → cosine 1 with row 3
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    return (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+            .cache(), vecs)
+
+
+def test_cosine_topk_matches_numpy(spark, vectors):
+    df, vecs = vectors
+    q = vecs[3].astype(np.float64)
+    sims = (vecs.astype(np.float64) @ q) / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q))
+    expected = sorted(enumerate(sims), key=lambda t: (-t[1], t[0]))[:5]
+    got = [(r["vec_id"], r["cosine"])
+           for r in similarity.cosine_topk(df, q.tolist(), k=5).collect()]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-6)
+
+
+def test_lsh_topk_contains_query_direction(spark, vectors):
+    df, vecs = vectors
+    q = vecs[3].tolist()
+    got = [r["vec_id"]
+           for r in similarity.lsh_cosine_topk(df, q, k=3, n_planes=6,
+                                               multiprobe=1).collect()]
+    # identical-direction vectors hash to the same bucket → always found
+    assert got[0] in (3, 10) and set(got[:2]) == {3, 10}
+
+
+def test_pairwise_cosine_dupes(spark, vectors):
+    df, _ = vectors
+    pairs = similarity.pairwise_cosine_dupes(df, threshold=0.999).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 10)}
+
+
+def test_textstats(spark, docs):
+    out = textstats.token_count(docs).collect()
+    counts = {r["doc_id"]: r["n_tokens"] for r in out}
+    assert counts[1] == 4 and counts[4] == 9 and counts[6] == 0
+    langs = {r["doc_id"]: r["lang_pred"]
+             for r in textstats.lang_id(docs).collect()}
+    assert langs[4] == "en" and langs[5] == "tr"
+    q = {r["doc_id"]: r["quality"]
+         for r in textstats.quality_score(docs).collect()}
+    assert 0 <= min(q.values()) and max(q.values()) <= 1
+    assert q[4] > q[6]  # real sentence beats empty text
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in textstats.doc_fingerprint(docs).collect()}
+    assert fp[1] == fp[2] == fp[7] and fp[1] != fp[3]
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.synth_media(spark, 30)
+    feats = multimodal.extract_features(
+        multimodal.size_balanced(media, 4)).collect()
+    assert len(feats) == 30
+    for r in feats:
+        v = np.array(r["features"])
+        assert v.shape == (multimodal.N_FEATURES,)
+        assert abs(float(v.sum()) - 1.0) < 1e-5  # histogram normalized
+    plan = multimodal.frame_sample_plan(media, every_ms=2000)
+    vid = plan.groupBy("media_id").count().collect()
+    assert len(vid) == 10  # a third of 30 are videos
+    assert all(r["count"] >= 1 for r in vid)

@@ -1,0 +1,68 @@
+"""Local mirror of the driver's correctness gate: run every queries()[name]
+at sf0.01 and compare to oracle_sql()[name] in DuckDB — row count, column
+names, and order-insensitive values (exact after the queries' own rounding).
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in idx) for r in rows)
+
+
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(spark, ddb, name):
+    df = _QUERIES[name](spark, SF)
+    spark_rows = df.collect()
+    cols = df.columns
+    if name not in _ORACLES:
+        # rows-only contract: runs, stable schema, no exception
+        assert isinstance(spark_rows, list)
+        return
+    res = ddb.execute(_ORACLES[name])
+    oracle_cols = [d[0] for d in res.description]
+    oracle_rows = res.fetchall()
+    assert sorted(cols) == sorted(oracle_cols), name
+    assert len(spark_rows) == len(oracle_rows), name
+    got = _norm_rows(cols, [[r[c] for c in cols] for r in spark_rows])
+    exp = _norm_rows(oracle_cols, oracle_rows)
+    mismatches = [(g, e) for g, e in zip(got, exp) if g != e]
+    assert not mismatches, (name, mismatches[:5])
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and df.columns == ["doc_id", "score"]
