@@ -455,6 +455,42 @@ def q_centroid_per_label(spark, sf_dir):
                  F.round(F.avg("norm"), 6).alias("avg_norm")))
 
 
+def q_robust_scale(spark, sf_dir):
+    """C7 robust scaling with the reference's index-based quartile
+    convention (sorted[n//4], sorted[n//2], sorted[3n//4])."""
+    from search_engine_tr_spark.functions.normalize import robust_scale_col
+
+    df = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    return (robust_scale_col(df, "s_acctbal", "rs")
+            .select("s_suppkey", F.round("rs", 6).alias("rs")))
+
+
+# ---------------------------------------------------------------------------
+# upsert / delete (S4, S5)
+# ---------------------------------------------------------------------------
+
+def q_merge_update(spark, sf_dir):
+    """MERGE-style update: add each customer's order spend to their balance."""
+    from search_engine_tr_spark.operators.upsert import merge_apply
+
+    c = _t(spark, sf_dir, "customer")
+    upd = (_t(spark, sf_dir, "orders")
+           .groupBy(F.col("o_custkey").alias("c_custkey"))
+           .agg(F.sum("o_totalprice").alias("spend")))
+    merged = merge_apply(c, upd, "c_custkey",
+                         {"c_acctbal": F.col("c_acctbal") + F.col("spend")})
+    return merged.select("c_custkey", F.round("c_acctbal", 4).alias("balance"))
+
+
+def q_delete_where(spark, sf_dir):
+    """DELETE FROM lineitem WHERE discount > 0.05 → survivors."""
+    from search_engine_tr_spark.operators.upsert import delete_where
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (delete_where(li, F.col("l_discount") > 0.05)
+            .select("l_orderkey", "l_linenumber", "l_discount"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -495,6 +531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct": q_distinct,
         # scalar transforms
         "normalizers": q_normalizers,
+        "robust_scale": q_robust_scale,
+        # upsert / delete
+        "merge_update": q_merge_update,
+        "delete_where": q_delete_where,
         # streaming-shaped
         "tumbling_window": q_tumbling_window,
         "sessionized_counts": q_sessionized_counts,
@@ -635,6 +675,30 @@ SELECT s_suppkey,
   round(1 - exp(-(CASE WHEN hi = lo THEN 1.0
         ELSE (s_acctbal - lo) / (hi - lo) END)), 6) AS ex
 FROM supplier CROSS JOIN s""",
+        "robust_scale": """
+WITH ranked AS (
+  SELECT s_acctbal, row_number() OVER (ORDER BY s_acctbal) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM supplier
+), picks AS (
+  SELECT max(CASE WHEN rk = n // 2 THEN s_acctbal END) AS med,
+         max(CASE WHEN rk = n // 4 THEN s_acctbal END) AS q1,
+         max(CASE WHEN rk = 3 * n // 4 THEN s_acctbal END) AS q3
+  FROM ranked
+)
+SELECT s_suppkey,
+       round(CASE WHEN q3 = q1 THEN 0.0
+             ELSE (s_acctbal - med) / (q3 - q1) END, 6) AS rs
+FROM supplier CROSS JOIN picks""",
+        "merge_update": """
+SELECT c_custkey,
+       round(c_acctbal + coalesce(upd.spend, 0), 4) AS balance
+FROM customer LEFT JOIN (
+  SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY o_custkey
+) upd ON c_custkey = upd.o_custkey""",
+        "delete_where": """
+SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+WHERE NOT (l_discount > 0.05)""",
         "tumbling_window": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*)::BIGINT AS n, round(sum(value), 4) AS total

@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: BM25 top-k query against a built index.
+
+    spark-submit --py-files dist/search_engine_tr_spark.zip \
+        jobs/query_job.py <index_dir> "<query>" [--k 10] [--mode wand] \
+        [--urls] [--cache DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("index_dir")
+    ap.add_argument("query")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", choices=["wand", "exhaustive"], default="wand")
+    ap.add_argument("--urls", action="store_true")
+    ap.add_argument("--cache", default=None,
+                    help="result-cache table dir (read-through + repair)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from search_engine_tr_spark.operators.query_bm25 import BM25Index
+
+    spark = SparkSession.builder.appName("setr-query").getOrCreate()
+    idx = BM25Index(spark, args.index_dir)
+    if args.cache:
+        from search_engine_tr_spark.operators.result_cache import ResultCache
+
+        df, hit = ResultCache(spark, args.cache).cached_search(
+            idx, args.query, k=args.k)
+        print(f"cache_hit={hit}")
+    elif args.urls:
+        df = idx.search_with_urls(args.query, k=args.k, mode=args.mode)
+    else:
+        df = idx.search(args.query, k=args.k, mode=args.mode)
+    for row in df.collect():
+        print(row.asDict())
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,12 @@ class BM25Index:
             self.meta = json.load(f)
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
+        # build the readers once: the partitioned-dir file listing and
+        # parquet footers are amortized across queries; term_stats is small
+        # relative to the index (one row per term) and hot → persist
+        self._tstats = spark.read.parquet(self.paths.term_stats).persist()
+        self._blocks = spark.read.parquet(self.paths.blocks)
+        self._doc_map = None
 
     # -- query plumbing ----------------------------------------------------
     def query_terms(self, raw_query: str) -> list[str]:
@@ -56,9 +62,7 @@ class BM25Index:
         """[(term, df, term_bucket)] for terms present in the index."""
         if not terms:
             return []
-        rows = (self.spark.read.parquet(self.paths.term_stats)
-                .filter(F.col("term").isin(terms))
-                .collect())
+        rows = self._tstats.filter(F.col("term").isin(terms)).collect()
         by_term = {r["term"]: r for r in rows}
         return [(t, int(by_term[t]["df"]), int(by_term[t]["term_bucket"]))
                 for t in terms if t in by_term]
@@ -74,7 +78,7 @@ class BM25Index:
         buckets = sorted({b for _, _, b in tmeta})
         term_list = [t for t, _, _ in tmeta]
 
-        blocks = (self.spark.read.parquet(self.paths.blocks)
+        blocks = (self._blocks
                   .filter(F.col("term_bucket").isin(buckets))
                   .filter(F.col("term").isin(term_list)))
 
@@ -100,6 +104,7 @@ class BM25Index:
                          mode: str = "wand") -> DataFrame:
         """Top-k + url — metadata join AFTER the limit (tiny broadcast)."""
         top = self.search(raw_query, k, mode)
-        doc_map = self.spark.read.parquet(self.paths.doc_map)
-        return (top.join(doc_map, "doc_id", "left")
+        if self._doc_map is None:
+            self._doc_map = self.spark.read.parquet(self.paths.doc_map)
+        return (top.join(self._doc_map, "doc_id", "left")
                 .orderBy(F.desc("score"), F.asc("doc_id")))

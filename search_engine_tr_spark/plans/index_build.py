@@ -66,6 +66,8 @@ class IndexPaths:
     def blocks(self) -> str: return os.path.join(self.root, "blocks")
     @property
     def meta(self) -> str: return os.path.join(self.root, "meta.json")
+    @property
+    def pages_text(self) -> str: return os.path.join(self.root, "pages_text")
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
@@ -171,10 +173,21 @@ def _skew_ratio(df: DataFrame, key: str) -> float:
 
 def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
                 n_shards: int = 32, term_buckets: int = 64,
-                collect_metrics: bool = True) -> dict:
-    """Full build. Writes all index tables under ``out_dir``; returns metrics."""
+                collect_metrics: bool = True, write_text: bool = True) -> dict:
+    """Full build. Writes all index tables under ``out_dir``; returns metrics.
+
+    ``write_text=True`` also materializes the input_hint contract column —
+    the byte-identical extracted ``text`` per url — as a pages_text table
+    (url, text, lang). This is part of the job, not an extra: the input
+    table arrives with text=NULL and the engine must fill it.
+    """
     paths = IndexPaths(out_dir)
     t0 = time.monotonic()
+
+    if write_text:
+        (pages.select("url", extract_text_udf(F.col("html")).alias("text"),
+                      "lang")
+         .write.mode("overwrite").parquet(paths.pages_text))
 
     doc_map = assign_doc_ids(pages)
     doc_map.write.mode("overwrite").parquet(paths.doc_map)
@@ -185,10 +198,9 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
     postings.write.mode("overwrite").parquet(paths.postings)
     postings = spark.read.parquet(paths.postings)
 
-    doclens = doc_lengths(postings)
-    doclens.write.mode("overwrite").parquet(paths.doclens)
-    doclens = spark.read.parquet(paths.doclens)
-
+    # doclens is derived (dl is packed into the blocks; the query path never
+    # reads a doclens table) — cache instead of a write+read round-trip
+    doclens = doc_lengths(postings).cache()
     stats = corpus_stats(doclens)
 
     tstats = (term_stats(postings)
@@ -200,9 +212,10 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
     (blocks.write.mode("overwrite")
      .partitionBy("term_bucket")
      .parquet(paths.blocks))
+    doclens.unpersist()
 
     elapsed = time.monotonic() - t0
-    n_pages = pages.count()
+    n_pages = stats.n_docs  # every non-empty page is a doc
     metrics = {
         "n_docs": stats.n_docs,
         "n_pages": n_pages,

@@ -31,6 +31,8 @@ def get_spark(app: str = "search-engine-tr-spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIR", "/tmp"))
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)

@@ -28,25 +28,71 @@ from ..plans.index_build import IndexPaths, occurrences_from_pages, \
 
 
 def incremental_index_update(spark: SparkSession, new_pages: DataFrame,
-                             index_dir: str) -> dict:
-    """Append-only index update for pages whose url is not yet in doc_map."""
+                             index_dir: str,
+                             refresh_derived: bool = False) -> dict:
+    """Append-only index update for pages whose url is not yet in doc_map.
+
+    Appends doc_map + flat postings; with ``refresh_derived=True`` also
+    rebuilds term_stats/blocks/meta so the BM25 query path sees the new
+    docs (the derived rebuild reads only the compact postings table, not
+    the raw pages — the expensive tokenization never re-runs).
+    """
     paths = IndexPaths(index_dir)
     doc_map = spark.read.parquet(paths.doc_map)
-    fresh = new_pages.join(doc_map.select("url"), "url", "left_anti").cache()
+    # localCheckpoint (not cache): appending to doc_map below invalidates
+    # any cached plan that READS doc_map (recacheByPath), which would make
+    # a cached anti-join silently recompute as empty — checkpointing severs
+    # the path lineage instead
+    fresh = new_pages.join(doc_map.select("url"), "url", "left_anti") \
+        .localCheckpoint()
     n_new = fresh.count()
     if n_new == 0:
-        fresh.unpersist()
         return {"new_docs": 0}
     base = doc_map.agg(F.max("doc_id")).collect()[0][0] or -1
     new_ids = (assign_doc_ids(fresh)
-               .withColumn("doc_id", F.col("doc_id") + F.lit(base + 1)))
+               .withColumn("doc_id", F.col("doc_id") + F.lit(base + 1))
+               .localCheckpoint())
     new_ids.write.mode("append").parquet(paths.doc_map)
     occ = occurrences_from_pages(fresh)
-    postings = postings_from_occurrences(occ, new_ids)
-    postings.write.mode("append").parquet(paths.postings)
+    postings = postings_from_occurrences(occ, new_ids).localCheckpoint()
     n_postings = postings.count()
-    fresh.unpersist()
-    return {"new_docs": n_new, "new_postings": n_postings}
+    postings.write.mode("append").parquet(paths.postings)
+    out = {"new_docs": n_new, "new_postings": n_postings}
+    if refresh_derived:
+        out.update(rebuild_derived(spark, index_dir))
+    return out
+
+
+def rebuild_derived(spark: SparkSession, index_dir: str,
+                    n_shards: int | None = None,
+                    term_buckets: int | None = None) -> dict:
+    """Rebuild term_stats/blocks/meta.json from the (appended) postings."""
+    import json
+
+    from ..plans.index_build import build_blocks
+    from ..plans.stats import corpus_stats, doc_lengths, term_stats
+
+    paths = IndexPaths(index_dir)
+    with open(paths.meta) as f:
+        meta = json.load(f)
+    n_shards = n_shards or int(meta.get("n_shards", 32))
+    term_buckets = term_buckets or int(meta.get("term_buckets", 64))
+    postings = spark.read.parquet(paths.postings)
+    doclens = doc_lengths(postings).cache()
+    stats = corpus_stats(doclens)
+    ts = (term_stats(postings)
+          .withColumn("term_bucket",
+                      F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")))
+    ts.write.mode("overwrite").parquet(paths.term_stats)
+    blocks = build_blocks(postings, doclens, stats.avgdl, n_shards, term_buckets)
+    blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(paths.blocks)
+    doclens.unpersist()
+    meta.update({"n_docs": stats.n_docs, "avgdl": stats.avgdl,
+                 "total_postings": stats.total_postings,
+                 "n_shards": n_shards, "term_buckets": term_buckets})
+    with open(paths.meta, "w") as f:
+        json.dump(meta, f, indent=2)
+    return {"n_docs": stats.n_docs, "total_postings": stats.total_postings}
 
 
 def stream_pages_to_postings(spark: SparkSession, pages_dir: str,
