@@ -749,6 +749,39 @@ SELECT label, count(*)::BIGINT AS n,
        round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[],
                                               x -> x * x)))), 6) AS avg_norm
 FROM embeddings GROUP BY label""",
-        # lang_id / minhash_lsh / simhash_pairs / lsh_ann: rows-only
-        # (heuristic thresholds / hash kernels — exactly verified in tests/)
+        "lang_id": _lang_id_sql(),
+        # minhash_lsh / simhash_pairs / lsh_ann: rows-only
+        # (probabilistic hash kernels — exactly verified in tests/)
     }
+
+
+def _lang_id_sql() -> str:
+    from search_engine_tr_spark.operators.textstats import (
+        EN_STOPWORDS, TR_STOPWORDS)
+
+    tr = ", ".join(f"'{w}'" for w in TR_STOPWORDS)
+    en = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return rf"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+), w2 AS (SELECT doc_id, tok FROM w WHERE tok <> ''),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         sum(CASE WHEN tok IN ({tr}) THEN 1 ELSE 0 END) AS tr_hits,
+         sum(CASE WHEN tok IN ({en}) THEN 1 ELSE 0 END) AS en_hits
+  FROM w2 GROUP BY doc_id
+), lab AS (
+  SELECT d.doc_id,
+         CASE
+           WHEN a.n IS NULL OR a.n = 0 THEN 'unknown'
+           WHEN a.tr_hits > a.en_hits
+                AND a.tr_hits / a.n::DOUBLE > 0.02 THEN 'tr'
+           WHEN a.en_hits > a.tr_hits
+                AND a.en_hits / a.n::DOUBLE > 0.02 THEN 'en'
+           ELSE 'unknown'
+         END AS lang_pred
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT lang_pred, count(*)::BIGINT AS n FROM lab GROUP BY lang_pred
+"""
