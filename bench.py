@@ -26,6 +26,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
 
+# shuffle/spill on tmpfs — the VM's virtio disk is rate-limited and makes
+# wall-clock numbers noisy (see BENCH/BASELINE.md)
+os.environ.setdefault("SPARK_LOCAL_DIR", "/dev/shm/spark-bench")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("BENCH_PAGES", "12000"))
