@@ -15,7 +15,15 @@
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# make the engine package importable regardless of the caller's cwd, and
+# visible to any python workers the session spawns
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
