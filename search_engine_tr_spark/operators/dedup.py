@@ -6,21 +6,49 @@ are designed scale-first:
 - exact:    one hash-groupBy on a digest column (map-side partial agg)
 - token-set Jaccard: inverted-index join on tokens — pairs are generated
   only for documents sharing a token (no O(n²) cross join); common tokens
-  (df above a cap) are dropped from pair generation like stopwords, which
-  bounds the join fan-out (explicit skew control)
+  (df above a cap) are dropped from PAIR GENERATION only — intersections
+  are always counted against full token sets, so jaccard values are exact
+  in capped mode too (explicit skew control without an exactness trade)
 - MinHash+LSH: shingle → K minhashes → B bands; candidate pairs only from
   shared band buckets, then exact-verified on shingle sets
-- SimHash: 64-bit signature; near-dup pairs via 4-segment blocking
-  (Hamming ≤ 3 guarantees an exact match in one 16-bit segment)
+- SimHash: n-bit signature; near-dup pairs via segment blocking with the
+  pigeonhole contract enforced (n_segments > max_hamming ⇒ exact recall)
 
-Hash functions are deterministic (xxhash64 with integer seed columns), no
-RNG at runtime.
+Hash kernels (``hash_kernel`` param, no RNG at runtime):
+
+- ``xxh64`` (default): Spark-native xxhash64 — the fast production path.
+- ``md5``: 60-bit value from the first 15 hex chars of md5. Slower, but
+  computable bit-identically in DuckDB (``('0x' || substr(md5(x),1,15))
+  ::BIGINT``), which makes MinHash/SimHash results SQL-oracle-checkable
+  cross-engine (the driver correctness gate uses this kernel).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+HASH_KERNELS = ("xxh64", "md5")
+
+#: signature width per kernel — md5 keeps 60 bits (15 hex chars) so the
+#: value stays positive in a signed 64-bit long in BOTH engines
+SIMHASH_BITS = {"xxh64": 64, "md5": 60}
+
+
+def _hash64(col: Column, seed: Column | int | None = None,
+            kernel: str = "xxh64") -> Column:
+    """Deterministic 64-bit-family hash column (see module docstring)."""
+    if kernel == "xxh64":
+        if seed is None:
+            return F.xxhash64(col)
+        s = seed if isinstance(seed, Column) else F.lit(seed)
+        return F.xxhash64(col, s)
+    if kernel == "md5":
+        if seed is not None:
+            s = seed if isinstance(seed, Column) else F.lit(seed)
+            col = F.concat(col, F.lit(":"), s.cast("string"))
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash kernel {kernel!r}")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -60,24 +88,43 @@ def token_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
                         max_token_df: int | None = None) -> DataFrame:
     """Exact token-set Jaccard ≥ threshold via inverted-index join.
 
-    → (id_a, id_b, jaccard) with id_a < id_b. ``max_token_df`` drops tokens
-    appearing in more than that many docs from PAIR GENERATION only —
-    intersection counts then undercount, so it is exact only when None
-    (the default used for oracle-checked queries).
+    → (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_token_df`` bounds the inverted-index join fan-out: tokens whose
+    document frequency exceeds the cap generate NO candidate pairs (the
+    stopword-style skew control). Intersections are then counted against
+    the FULL token sets of each surviving candidate pair, so the reported
+    jaccard is exact either way — the cap can only lose a pair entirely
+    (when two docs share no sub-cap token), never mis-score one.
     """
     toks = _tokens(df, id_col, text_col)
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    gen = toks
-    if max_token_df is not None:
+    if max_token_df is None:
+        a = toks.select(F.col("id").alias("id_a"), "token")
+        b = toks.select(F.col("id").alias("id_b"), "token")
+        inter = (a.join(b, "token")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("inter")))
+    else:
         rare = (toks.groupBy("token").agg(F.count("*").alias("tdf"))
                 .filter(F.col("tdf") <= max_token_df))
         gen = toks.join(rare.select("token"), "token", "left_semi")
-    a = gen.select(F.col("id").alias("id_a"), "token")
-    b = gen.select(F.col("id").alias("id_b"), "token")
-    inter = (a.join(b, "token")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.count("*").alias("inter")))
+        a = gen.select(F.col("id").alias("id_a"), "token")
+        b = gen.select(F.col("id").alias("id_b"), "token")
+        cand = (a.join(b, "token")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct())
+        # exact intersections from the FULL token sets (mirrors the
+        # minhash verify join) — candidates only bound the pair space
+        inter = (cand
+                 .join(toks.select(F.col("id").alias("id_a"), "token"), "id_a")
+                 .join(toks.select(F.col("id").alias("id_b"),
+                                   F.col("token").alias("tok_b")), "id_b")
+                 .filter(F.col("token") == F.col("tok_b"))
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("inter")))
     return (inter
             .join(sizes.select(F.col("id").alias("id_a"),
                                F.col("sz").alias("sz_a")), "id_a")
@@ -95,29 +142,36 @@ def token_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
 # ---------------------------------------------------------------------------
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) distinct word k-grams."""
-    words = F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+")
-    words = F.filter(words, lambda w: w != "")
-    n = F.size(words)
+    """(id, shingle) distinct word k-grams.
+
+    Documents with ZERO word tokens are dropped entirely: an empty-string
+    shingle would give every pair of empty/whitespace-only docs jaccard 1.0
+    and flood the near-dup output with contentless "duplicates"."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"),
+                     lambda w: w != "")
+    base = (df.select(F.col(id_col).alias("id"), words.alias("_w"))
+            .filter(F.size("_w") > 0))
+    n = F.size(F.col("_w"))
     sh = F.when(n >= k, F.transform(
         F.sequence(F.lit(1), n - k + 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-    )).otherwise(F.array(F.concat_ws(" ", words)))
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(sh)).alias("shingle")))
+        lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, k)),
+    )).otherwise(F.array(F.concat_ws(" ", F.col("_w"))))
+    return base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def minhash_signatures(df: DataFrame, num_hashes: int = 64,
                        id_col: str = "doc_id", text_col: str = "text",
-                       shingle_k: int = 3) -> DataFrame:
+                       shingle_k: int = 3,
+                       hash_kernel: str = "xxh64") -> DataFrame:
     """(id, sig: array<long>) — sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). One explode + one groupBy; the K mins are
+    hash(shingle, seed=i). One explode + one groupBy; the K mins are
     computed as one array aggregate (no K passes)."""
     sh = _shingles(df, id_col, text_col, shingle_k)
     hashed = sh.select(
         "id",
         F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                    lambda i: F.xxhash64(F.col("shingle"), i)).alias("hs"))
+                    lambda i: _hash64(F.col("shingle"), i, hash_kernel)
+                    ).alias("hs"))
     zero = F.array([F.lit(None).cast("long")] * num_hashes)
     merged = hashed.groupBy("id").agg(
         F.aggregate(
@@ -129,22 +183,49 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 64,
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.7, id_col: str = "doc_id",
-                      text_col: str = "text", shingle_k: int = 3) -> DataFrame:
+                      text_col: str = "text", shingle_k: int = 3,
+                      hash_kernel: str = "xxh64",
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs: LSH banding for candidates, exact shingle-Jaccard
-    verification ≥ threshold. → (id_a, id_b, jaccard)."""
+    verification ≥ threshold. → (id_a, id_b, jaccard).
+
+    ``max_bucket_size`` drops (band, bucket) groups holding more than that
+    many docs before the candidate self-join — the skew guard for
+    adversarial near-constant corpora where one signature absorbs the
+    corpus. Dropped-bucket count is logged, never silent."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, id_col, text_col, shingle_k)
+    sigs = minhash_signatures(df, num_hashes, id_col, text_col, shingle_k,
+                              hash_kernel)
     banded = sigs.select(
         "id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
                 b.alias("band"),
-                F.xxhash64(F.concat_ws(
+                _hash64(F.concat_ws(
                     ",", F.transform(F.slice("sig", b * rows + 1, rows),
                                      lambda v: v.cast("string"))
-                )).alias("bucket")))).alias("bb"))
+                ), kernel=hash_kernel).alias("bucket")))).alias("bb"))
+    if max_bucket_size is not None:
+        bsz = (banded.groupBy(F.col("bb.band").alias("_band"),
+                              F.col("bb.bucket").alias("_bucket"))
+               .agg(F.count("*").alias("_n")))
+        n_hot = bsz.filter(F.col("_n") > max_bucket_size).count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: dropping %d hot band-bucket(s) > %d "
+                "docs (candidate recall reduced for their members)",
+                n_hot, max_bucket_size)
+        keep = bsz.filter(F.col("_n") <= max_bucket_size) \
+            .select("_band", "_bucket")
+        banded = banded.join(
+            F.broadcast(keep),
+            (F.col("bb.band") == F.col("_band"))
+            & (F.col("bb.bucket") == F.col("_bucket")),
+            "left_semi")
     cand = (banded.alias("x").join(
         banded.alias("y"),
         (F.col("x.bb.band") == F.col("y.bb.band"))
@@ -179,28 +260,29 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """(id, simhash:long) — 64-bit simhash over distinct word tokens:
-    bit j = 1 iff Σ_tokens sign(bit j of xxhash64(token)) > 0.
+            text_col: str = "text", hash_kernel: str = "xxh64") -> DataFrame:
+    """(id, simhash:long) — SIMHASH_BITS[kernel]-bit simhash over distinct
+    word tokens: bit j = 1 iff Σ_tokens sign(bit j of hash(token)) > 0.
 
     Bit shifts are static Python-side loops (Spark's shiftright takes an
     int, not a Column) — the expression tree is wide but codegen'd.
     """
+    n_bits = SIMHASH_BITS[hash_kernel]
     toks = _tokens(df, id_col, text_col)
-    h = F.xxhash64("token")
+    h = _hash64(F.col("token"), kernel=hash_kernel)
     bits = toks.select(
         "id",
         F.array(*[
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-             .otherwise(F.lit(-1)) for j in range(64)
+             .otherwise(F.lit(-1)) for j in range(n_bits)
         ]).alias("v"))
-    zero = F.array([F.lit(0)] * 64)
+    zero = F.array([F.lit(0)] * n_bits)
     summed = bits.groupBy("id").agg(
         F.aggregate(F.collect_list("v"), zero,
                     lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
                     ).alias("sums"))
     bit_terms = []
-    for j in range(64):
+    for j in range(n_bits):
         val = (1 << j) if j < 63 else -(1 << 63)  # sign bit as signed long
         bit_terms.append(
             F.when(F.element_at("sums", j + 1) > 0, F.lit(val).cast("long"))
@@ -211,20 +293,42 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     return summed.select("id", acc.alias("simhash"))
 
 
+def _segment_bounds(n_bits: int, n_segments: int) -> list[tuple[int, int]]:
+    """Even partition of [0, n_bits) into n_segments non-empty ranges."""
+    return [(s * n_bits // n_segments, (s + 1) * n_bits // n_segments)
+            for s in range(n_segments)]
+
+
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4-segment
-    blocking (pigeonhole: ≤3 differing bits → ≥1 identical 16-bit segment).
-    → (id_a, id_b, hamming)."""
-    sh = simhash(df, id_col, text_col)
+                       id_col: str = "doc_id", text_col: str = "text",
+                       hash_kernel: str = "xxh64",
+                       n_segments: int | None = None) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via segment
+    blocking. → (id_a, id_b, hamming).
+
+    Pigeonhole contract ENFORCED: with ``n_segments > max_hamming`` disjoint
+    segments, any pair within the radius shares at least one identical
+    segment, so blocking is exact (recall 1.0). Default
+    ``n_segments = max_hamming + 1``; a value ≤ max_hamming raises instead
+    of silently returning an approximate pair set."""
+    n_bits = SIMHASH_BITS[hash_kernel]
+    if n_segments is None:
+        n_segments = max_hamming + 1
+    if n_segments <= max_hamming:
+        raise ValueError(
+            f"n_segments={n_segments} <= max_hamming={max_hamming}: "
+            "segment blocking would miss pairs (need n_segments > max_hamming)")
+    if n_segments > n_bits:
+        raise ValueError(f"n_segments={n_segments} > signature bits {n_bits}")
+    sh = simhash(df, id_col, text_col, hash_kernel)
     seg = sh.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(s).alias("seg"),
-                F.shiftright(F.col("simhash"), s * 16)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for s in range(4)
+                F.shiftright(F.col("simhash"), lo)
+                 .bitwiseAND(F.lit((1 << (hi - lo)) - 1)).alias("key"))
+            for s, (lo, hi) in enumerate(_segment_bounds(n_bits, n_segments))
         ])).alias("sk"))
     cand = (seg.alias("x").join(
         seg.alias("y"),

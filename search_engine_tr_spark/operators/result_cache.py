@@ -92,13 +92,21 @@ class ResultCache:
             merged = keep.unionByName(new)
         else:
             merged = new
-        tmp = bpath + "__tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.coalesce(1).write.mode("overwrite").parquet(bpath)
+        # crash-atomic swap: write the merged bucket to a tmp dir, then
+        # rename it into place. A second overwrite write of bpath would
+        # delete-before-rewrite — a crash mid-rewrite loses the whole bucket
+        # and a concurrent lookup reading bpath mid-swap would fail.
         import shutil
 
+        tmp = bpath + "__tmp"
+        old = bpath + "__old"
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(bpath):
+            os.rename(bpath, old)
+        os.rename(tmp, bpath)
+        shutil.rmtree(old, ignore_errors=True)
 
     def cached_search(self, index, raw_query: str, k: int = 10):
         """Read-through with the reference's read-repair: on a hit, return

@@ -43,9 +43,17 @@ def with_cosine(df: DataFrame, query_vec: list[float],
 
 
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact brute-force cosine top-k → (id, cosine), (cosine desc, id asc)."""
-    return (with_cosine(df, query_vec, vec_col)
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_dp: int | None = None) -> DataFrame:
+    """Exact brute-force cosine top-k → (id, cosine), (cosine desc, id asc).
+
+    ``round_dp`` rounds the cosine BEFORE ordering (and returns the rounded
+    value) so the top-k boundary tie-break matches an engine that orders by
+    the rounded output column (the DuckDB gate does: ORDER BY the alias)."""
+    scored = with_cosine(df, query_vec, vec_col)
+    if round_dp is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_dp))
+    return (scored
             .select(F.col(id_col), F.col("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k))
@@ -74,21 +82,38 @@ def _bucket_col(vec_col, planes: np.ndarray):
     return out
 
 
+def query_bucket_bits(query_vec: list[float], planes: np.ndarray) -> int:
+    """Sign-bucket of the query vector — sequential left-to-right dots so the
+    summation order matches the Column-side ``_bucket_col`` aggregate (numpy
+    ``@`` uses pairwise/SIMD summation, which could flip a borderline sign)."""
+    bits = 0
+    for i, p in enumerate(planes):
+        acc = 0.0
+        for a, b in zip(query_vec, p):
+            acc += float(a) * float(b)
+        if acc >= 0:
+            bits |= 1 << i
+    return bits
+
+
 def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_planes: int = 8, seed: int = 42,
-                    multiprobe: int = 1) -> DataFrame:
+                    multiprobe: int = 1,
+                    round_dp: int | None = None) -> DataFrame:
     """Approximate cosine top-k: scan only vectors whose hyperplane
     sign-bucket is within Hamming ≤ multiprobe of the query's bucket."""
     dim = len(query_vec)
     planes = _planes(dim, n_planes, seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qbits = int(sum(1 << i for i, p in enumerate(planes) if float(p @ q) >= 0))
+    qbits = query_bucket_bits(query_vec, planes)
     bucketed = df.withColumn(
         "_bucket", _bucket_col(F.col(vec_col).cast("array<double>"), planes))
     probe = bucketed.filter(
         F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbits))) <= multiprobe)
-    return (with_cosine(probe, query_vec, vec_col)
+    scored = with_cosine(probe, query_vec, vec_col)
+    if round_dp is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_dp))
+    return (scored
             .select(F.col(id_col), F.col("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k))
@@ -96,12 +121,29 @@ def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def pairwise_cosine_dupes(df: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          n_planes: int = 8, seed: int = 42) -> DataFrame:
+                          n_planes: int = 8, seed: int = 42,
+                          max_bucket_size: int | None = None) -> DataFrame:
     """Embedding near-dup pairs ≥ threshold, candidates from shared LSH
-    bucket (approximate recall, exact precision). → (id_a, id_b, cosine)."""
+    bucket (approximate recall, exact precision). → (id_a, id_b, cosine).
+
+    ``max_bucket_size`` drops hot buckets (skew guard for near-constant
+    corpora where one sign-pattern absorbs most vectors); dropped-bucket
+    count is logged — never silently capped."""
     planes = _planes(df.select(F.size(vec_col)).first()[0], n_planes, seed)
     b = df.withColumn(
         "_bucket", _bucket_col(F.col(vec_col).cast("array<double>"), planes))
+    if max_bucket_size is not None:
+        sizes = b.groupBy("_bucket").agg(F.count("*").alias("_bsz"))
+        n_hot = sizes.filter(F.col("_bsz") > max_bucket_size).count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pairwise_cosine_dupes: dropping %d hot bucket(s) > %d "
+                "vectors (recall reduced for their members)",
+                n_hot, max_bucket_size)
+        b = (b.join(F.broadcast(sizes.filter(F.col("_bsz") <= max_bucket_size)
+                                .select("_bucket")), "_bucket", "left_semi"))
     x = b.select(F.col(id_col).alias("id_a"),
                  F.col(vec_col).alias("v_a"), "_bucket")
     y = b.select(F.col(id_col).alias("id_b"),

@@ -35,9 +35,10 @@ def token_count(df: DataFrame, text_col: str = "text",
 
 def bpe_ish_token_count(df: DataFrame, text_col: str = "text",
                         out: str = "n_subtokens") -> DataFrame:
-    """Sub-word-ish count: word-chars in runs of ≤4 + punctuation singles —
-    a deterministic regex proxy for BPE token counts (no tokenizer dep)."""
-    # count = ceil(letters/4) per word + standalone non-space symbols
+    """Sub-word-ish count: ceil(len(word)/4) summed over whitespace words —
+    a deterministic proxy for BPE token counts (no tokenizer dep).
+    Punctuation attached to a word counts toward that word's length; there
+    is no separate punctuation term."""
     words = words_col(F.col(text_col))
     per_word = F.aggregate(
         words, F.lit(0),

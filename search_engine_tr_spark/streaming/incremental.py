@@ -48,7 +48,10 @@ def incremental_index_update(spark: SparkSession, new_pages: DataFrame,
     n_new = fresh.count()
     if n_new == 0:
         return {"new_docs": 0}
-    base = doc_map.agg(F.max("doc_id")).collect()[0][0] or -1
+    # explicit None check: `or -1` would treat a legitimate max doc_id of 0
+    # as missing and restart ids at 0, colliding with the existing doc
+    _max_id = doc_map.agg(F.max("doc_id")).collect()[0][0]
+    base = -1 if _max_id is None else int(_max_id)
     new_ids = (assign_doc_ids(fresh)
                .withColumn("doc_id", F.col("doc_id") + F.lit(base + 1))
                .localCheckpoint())

@@ -130,6 +130,127 @@ def test_textstats(spark, docs):
     assert fp[1] == fp[2] == fp[7] and fp[1] != fp[3]
 
 
+def test_token_jaccard_capped_is_exact(spark, docs):
+    """Capped mode bounds pair GENERATION but values stay exact: every pair
+    it returns must carry the identical jaccard as uncapped mode, and with a
+    cap high enough to keep all candidate tokens the pair sets are equal."""
+    uncapped = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dedup.token_jaccard_pairs(docs, threshold=0.3).collect()}
+    # generous cap (> n_docs): identical result
+    same = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.token_jaccard_pairs(
+                docs, threshold=0.3, max_token_df=100).collect()}
+    assert same == uncapped
+    # tight cap: subset of pairs, but every surviving value EXACT
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in dedup.token_jaccard_pairs(
+                  docs, threshold=0.3, max_token_df=2).collect()}
+    assert set(capped) <= set(uncapped)
+    for k, v in capped.items():
+        assert v == uncapped[k]
+
+
+def _brute_hamming_pairs(sigs: dict[int, int], radius: int):
+    out = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        if h <= radius:
+            out[(a, b)] = h
+    return out
+
+
+@pytest.mark.parametrize("kernel", ["xxh64", "md5"])
+@pytest.mark.parametrize("radius", [3, 8])
+def test_simhash_blocking_equals_bruteforce(spark, docs, kernel, radius):
+    """Pigeonhole contract: blocked pairs == brute-force Hamming pairs for
+    every radius when n_segments > max_hamming (the enforced default)."""
+    d = docs.filter(F.col("text") != "")
+    sigs = {r["id"]: r["simhash"]
+            for r in dedup.simhash(d, hash_kernel=kernel).collect()}
+    expected = _brute_hamming_pairs(sigs, radius)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_pairs(
+               d, max_hamming=radius, hash_kernel=kernel).collect()}
+    assert got == expected
+
+
+def test_simhash_segment_contract_enforced(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(docs, max_hamming=8, n_segments=4).collect()
+
+
+def test_md5_kernel_matches_duckdb(spark):
+    """The gate hash kernel must be bit-identical across engines."""
+    import duckdb
+
+    vals = ["elma", "the quick", "çiçek örnek", "a:0", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["h"] for r in df.select(
+        "s", dedup._hash64(F.col("s"), kernel="md5").alias("h")).collect()}
+    seeded = {r["s"]: r["h"] for r in df.select(
+        "s", dedup._hash64(F.col("s"), 7, "md5").alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        exp = con.execute(
+            "SELECT ('0x' || substr(md5(?),1,15))::BIGINT", [v]).fetchone()[0]
+        exp_seed = con.execute(
+            "SELECT ('0x' || substr(md5(? || ':7'),1,15))::BIGINT",
+            [v]).fetchone()[0]
+        assert got[v] == exp
+        assert seeded[v] == exp_seed
+
+
+def test_minhash_md5_kernel_same_verified_pairs(spark, docs):
+    """Kernel changes candidates, not truth: exact dups are caught by both
+    kernels and every reported jaccard is the true shingle jaccard."""
+    d = docs.filter(F.col("text") != "")
+    for kernel in ("xxh64", "md5"):
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dedup.minhash_lsh_pairs(
+                     d, num_hashes=32, bands=16, threshold=0.99,
+                     shingle_k=2, hash_kernel=kernel).collect()}
+        assert {(1, 2), (1, 7), (2, 7)} <= set(pairs)
+        assert all(j == 1.0 for j in pairs.values())
+
+
+def test_minhash_bucket_guard_bounds_skew(spark):
+    """Adversarial constant corpus: every doc identical → one hot bucket per
+    band. The guard drops them; pair output becomes empty but the job
+    completes with bounded fan-out instead of an n² self-join."""
+    rows = [(i, "aynı metin her yerde tekrar") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = dedup.minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, threshold=0.5, shingle_k=2,
+        max_bucket_size=10)
+    assert guarded.count() == 0  # all candidates lived in dropped buckets
+    # sanity: unguarded still finds them (we didn't break recall by default)
+    some = dedup.minhash_lsh_pairs(
+        d.filter(F.col("doc_id") < 5), num_hashes=32, bands=8,
+        threshold=0.5, shingle_k=2).count()
+    assert some == 10  # C(5,2) identical pairs
+
+
+def test_empty_docs_not_near_dups(spark):
+    """ADVICE fix: empty/whitespace-only docs must not pair as jaccard-1.0
+    duplicates via the empty-string shingle."""
+    rows = [(1, ""), (2, "   "), (3, "\n\t"), (4, "gerçek içerik burada var")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=16, bands=8,
+                                    threshold=0.1, shingle_k=2).collect()
+    assert pairs == []
+
+
+def test_pairwise_cosine_bucket_guard(spark, vectors):
+    df, _ = vectors
+    # cap of 0 drops every bucket → empty but completes
+    assert similarity.pairwise_cosine_dupes(
+        df, threshold=0.5, max_bucket_size=0).count() == 0
+    # generous cap keeps the known dup pair
+    pairs = similarity.pairwise_cosine_dupes(
+        df, threshold=0.999, max_bucket_size=1000).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 10)}
+
+
 def test_multimodal_feature_plumbing(spark):
     media = multimodal.synth_media(spark, 30)
     feats = multimodal.extract_features(
