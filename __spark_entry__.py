@@ -393,20 +393,35 @@ def q_token_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """Probabilistic candidates, exact verification — rows-only check."""
+    """MinHash+LSH near-dups on the md5 hash kernel — the full band→bucket→
+    verify pipeline is replayed in DuckDB (bit-identical 60-bit hashes), so
+    this probabilistic operator is value-checked, not rows-only."""
     from search_engine_tr_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return (minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.8)
+    return (minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.8,
+                              hash_kernel="md5")
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def q_token_jaccard_capped(spark, sf_dir):
+    """Capped (skew-guarded) jaccard: candidate pairs only from tokens with
+    df ≤ cap, intersections exact from full token sets."""
+    from search_engine_tr_spark.operators.dedup import token_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (token_jaccard_pairs(docs, threshold=0.8, max_token_df=290)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dups — rows-only check (hash-kernel specific)."""
+    """SimHash near-dups on the md5 kernel (60-bit). Blocking is exact for
+    the radius (n_segments = max_hamming + 1 pigeonhole), so the DuckDB
+    brute-force Hamming join is an exact oracle."""
     from search_engine_tr_spark.operators.dedup import simhash_near_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return simhash_near_pairs(docs, max_hamming=8)
+    return simhash_near_pairs(docs, max_hamming=8, hash_kernel="md5")
 
 
 def q_token_count(spark, sf_dir):
@@ -431,24 +446,128 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    """Brute-force cosine top-10 vs the vec_id=0 embedding. round_dp=6:
+    ordering happens on the ROUNDED cosine, matching the SQL oracle's
+    ORDER BY on the rounded output alias (identical tie-break rule)."""
     from search_engine_tr_spark.operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    top = cosine_topk(emb, [float(x) for x in qvec], k=10)
-    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    top = cosine_topk(emb, [float(x) for x in qvec], k=10, round_dp=6)
+    return top.select("vec_id", "cosine")
 
 
 def q_lsh_ann(spark, sf_dir):
-    """LSH-bucketed ANN — rows-only check (recall tested in pytest)."""
+    """LSH-bucketed ANN. Value-checked: the oracle replays the hyperplane
+    sign buckets in SQL with the same plane literals (seed-derived), same
+    multiprobe Hamming filter, then exact cosine top-k. Sign margins on
+    this data are ~1e-4 — far above cross-engine summation-order noise."""
     from search_engine_tr_spark.operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     top = lsh_cosine_topk(emb, [float(x) for x in qvec], k=10,
-                          n_planes=8, multiprobe=2)
-    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+                          n_planes=8, multiprobe=2, round_dp=6)
+    return top.select("vec_id", "cosine")
+
+
+def q_pairwise_cosine_dupes(spark, sf_dir):
+    """Embedding near-pairs from shared LSH buckets, exact cosine verify."""
+    from search_engine_tr_spark.operators.similarity import pairwise_cosine_dupes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (pairwise_cosine_dupes(emb, threshold=0.35)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def q_quality_score(spark, sf_dir):
+    """Webtext quality heuristic (length/punct/stopword/word-length gates)."""
+    from search_engine_tr_spark.operators.textstats import quality_score
+
+    return (quality_score(_t(spark, sf_dir, "documents"))
+            .select("doc_id", F.round("quality", 6).alias("quality")))
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """Sub-word-ish token count proxy (ceil(len/4) per whitespace word)."""
+    from search_engine_tr_spark.operators.textstats import bpe_ish_token_count
+
+    return (bpe_ish_token_count(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "n_subtokens"))
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plan (sequence/explode over duration
+    metadata) — events mapped to a media-shaped table so the real
+    ``frame_sample_plan`` operator runs with a SQL-expressible input."""
+    from search_engine_tr_spark.operators.multimodal import frame_sample_plan
+
+    ev = _t(spark, sf_dir, "events")
+    media = ev.select(
+        F.col("event_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.greatest(F.floor(F.col("value") * 10).cast("int"),
+                       F.lit(0)).alias("duration_ms"),
+            F.lit("synthetic").alias("codec")).alias("meta"))
+    return frame_sample_plan(media, every_ms=250)
+
+
+def q_indegree_scores(spark, sf_dir):
+    """Backlink in-degree authority (A5/J4/F8) through the real
+    ``indegree_authority`` operator — URL-shaped edges derived from
+    customer→nation so the cross-domain filter and base-url extraction run
+    on a SQL-reconstructable graph."""
+    from search_engine_tr_spark.operators.pagerank import indegree_authority
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    links = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .select(
+                 F.concat(F.lit("https://cust"),
+                          (F.col("c_custkey") % 97).cast("string"),
+                          F.lit(".net/a")).alias("source_url"),
+                 F.concat(F.lit("https://nat"),
+                          F.col("n_nationkey").cast("string"),
+                          F.lit(".org/page")).alias("target_url")))
+    return indegree_authority(links).select("domain", "score")
+
+
+def q_topk_with_meta(spark, sf_dir):
+    """J3 full shape: BM25 top-k, then metadata joined AFTER the limit."""
+    top = q_bm25_docs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return (top.join(F.broadcast(docs), "doc_id", "left")
+            .select("doc_id", "score", "source", "lang"))
+
+
+def q_incremental_postings(spark, sf_dir):
+    """T2/J5 invariant: postings built as base + anti-join-discovered
+    increment (real parquet append, like the incremental index path) must
+    equal a full one-shot build — the oracle is the plain full-postings SQL."""
+    import shutil
+
+    out = "/tmp/graft_incr_postings"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+
+    def postings_of(d: DataFrame) -> DataFrame:
+        toks = d.select(
+            "doc_id",
+            F.explode(F.filter(F.split(F.lower("text"), _TOKEN_RE),
+                               lambda w: w != "")).alias("term"))
+        return (toks.groupBy("doc_id", "term")
+                .agg(F.count("*").cast("long").alias("tf")))
+
+    postings_of(docs.filter(F.col("doc_id") < 350)) \
+        .write.mode("overwrite").parquet(out)
+    known = spark.read.parquet(out).select("doc_id").distinct()
+    fresh = docs.join(known, "doc_id", "left_anti")  # J5 discovery
+    postings_of(fresh).write.mode("append").parquet(out)
+    return spark.read.parquet(out).select("doc_id", "term", "tf")
 
 
 def q_centroid_per_label(spark, sf_dir):
@@ -549,14 +668,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "exact_dup_groups": q_exact_dup_groups,
         "token_jaccard": q_token_jaccard,
+        "token_jaccard_capped": q_token_jaccard_capped,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
+        "pairwise_cosine_dupes": q_pairwise_cosine_dupes,
         "centroid_per_label": q_centroid_per_label,
+        # multimodal / link graph / incremental
+        "frame_sample_plan": q_frame_sample,
+        "indegree_scores": q_indegree_scores,
+        "topk_with_meta": q_topk_with_meta,
+        "incremental_postings": q_incremental_postings,
     }
 
 
@@ -758,9 +886,245 @@ SELECT label, count(*)::BIGINT AS n,
                                               x -> x * x)))), 6) AS avg_norm
 FROM embeddings GROUP BY label""",
         "lang_id": _lang_id_sql(),
-        # minhash_lsh / simhash_pairs / lsh_ann: rows-only
-        # (probabilistic hash kernels — exactly verified in tests/)
+        "quality_score": _quality_sql(),
+        "bpe_token_count": r"""
+SELECT doc_id,
+       coalesce(list_sum(list_transform(
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+         x -> ceil(length(x) / 4.0)::INT)), 0)::INT AS n_subtokens
+FROM documents""",
+        "token_jaccard_capped": _token_jaccard_capped_sql(),
+        "minhash_lsh": _minhash_lsh_sql(),
+        "simhash_pairs": _simhash_sql(),
+        "lsh_ann": _lsh_ann_sql(),
+        "pairwise_cosine_dupes": _pairwise_cosine_sql(),
+        "frame_sample_plan": """
+SELECT event_id AS media_id,
+       unnest(range(0, greatest(dur - 1, 0) + 1, 250))::INT AS frame_ts_ms
+FROM (SELECT event_id, greatest(floor(value * 10)::INT, 0) AS dur
+      FROM events) t""",
+        "indegree_scores": """
+SELECT 'https://nat' || n_nationkey || '.org' AS domain,
+       count(*)::DOUBLE AS score
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1""",
+        "topk_with_meta": f"""
+SELECT t.doc_id, t.score, d.source, d.lang
+FROM ({_bm25_sql()}) t LEFT JOIN documents d ON t.doc_id = d.doc_id""",
+        "incremental_postings": tok_cte + """
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks WHERE term <> ''
+GROUP BY doc_id, term""",
     }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders for the hash-kernel / plane-literal queries
+# ---------------------------------------------------------------------------
+
+# the cross-engine 60-bit hash: first 15 hex chars of md5, as a BIGINT —
+# Spark computes conv(substr(md5(x),1,15),16,10)::long, DuckDB this:
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _minhash_lsh_sql() -> str:
+    """DuckDB replay of dedup.minhash_lsh_pairs(num_hashes=32, bands=16,
+    threshold=0.8, shingle_k=3, hash_kernel='md5') over doc_id < 300:
+    shingle → 32 seeded 60-bit min-hashes → 16 bands of 2 → band-bucket
+    self-join candidates → exact shingle-jaccard verification."""
+    h_sh = _H60.format(x="shingle || ':' || seed::VARCHAR")
+    h_band = _H60.format(
+        x="array_to_string(list(v::VARCHAR ORDER BY seed), ',')")
+    return rf"""
+WITH docs AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                     w -> w <> '') AS w
+  FROM documents WHERE doc_id < 300
+), docs2 AS (SELECT id, w FROM docs WHERE len(w) > 0),
+sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id, unnest(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))
+      ELSE [array_to_string(w, ' ')] END) AS shingle
+    FROM docs2) u
+),
+mh AS (
+  SELECT id, seed, min({h_sh}) AS v
+  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS seed) seeds
+  GROUP BY id, seed
+),
+bands AS (
+  SELECT id, seed // 2 AS band, {h_band} AS bucket
+  FROM mh GROUP BY id, band
+),
+cand AS (
+  SELECT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT id_a, id_b, count(*) AS i
+  FROM cand
+  JOIN sh a ON a.id = cand.id_a
+  JOIN sh b ON b.id = cand.id_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.8"""
+
+
+def _simhash_sql() -> str:
+    """DuckDB replay of dedup.simhash_near_pairs(max_hamming=8,
+    hash_kernel='md5') over doc_id < 300. The Spark side's segment blocking
+    is exact for the radius (pigeonhole, n_segments=9 > 8), so a
+    brute-force O(n²) Hamming join over the same 60-bit signatures is an
+    exact oracle (n=300 → 45k pairs, trivial for DuckDB)."""
+    h_tok = _H60.format(x="token")
+    return rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+')) AS token
+  FROM documents WHERE doc_id < 300
+), toks2 AS (SELECT id, token FROM toks WHERE token <> ''),
+h AS (SELECT id, {h_tok} AS hv FROM toks2),
+bits AS (
+  SELECT id, j, sum(CASE WHEN ((hv >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) js
+  GROUP BY id, j
+),
+sig AS (
+  SELECT id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS sh
+  FROM bits GROUP BY id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= 8"""
+
+
+def _plane_literals(dim: int = 64, n_planes: int = 8,
+                    seed: int = 42) -> list[str]:
+    """The similarity operators' seed-derived hyperplanes as DOUBLE[] SQL
+    literals (repr round-trips bit-exactly in both engines)."""
+    from search_engine_tr_spark.operators.similarity import _planes
+
+    return ["[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            for p in _planes(dim, n_planes, seed)]
+
+
+def _bucket_expr(col: str, plane_lits: list[str]) -> str:
+    """Hyperplane sign-bucket of a DOUBLE[] column, mirroring
+    similarity._bucket_col. Sign margins on the fixture embeddings are
+    ~1e-4, 9 orders above cross-engine dot-product summation-order noise."""
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({col}, {p}) >= 0 "
+        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i, p in enumerate(plane_lits))
+    return "(" + terms + ")"
+
+
+def _lsh_ann_sql() -> str:
+    """DuckDB replay of similarity.lsh_cosine_topk(n_planes=8, seed=42,
+    multiprobe=2, k=10, round_dp=6) vs the vec_id=0 embedding (dim 64)."""
+    pl = _plane_literals()
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qb AS (SELECT {_bucket_expr('qv', pl)} AS qbucket FROM q),
+b AS (SELECT vec_id, v, {_bucket_expr('v', pl)} AS bucket FROM e)
+SELECT vec_id,
+       round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
+FROM b, qb
+WHERE bit_count(xor(bucket, qbucket)) <= 2
+ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+def _pairwise_cosine_sql() -> str:
+    """DuckDB replay of similarity.pairwise_cosine_dupes(threshold=0.35,
+    n_planes=8, seed=42): same-bucket candidate pairs, exact cosine ≥ t."""
+    pl = _plane_literals()
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_expr('v', pl)} AS bucket FROM e)
+SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+WHERE list_cosine_similarity(a.v, bb.v) >= 0.35"""
+
+
+def _token_jaccard_capped_sql() -> str:
+    """Capped jaccard: candidates from tokens with df ≤ 290, intersections
+    exact from full token sets (mirrors dedup.token_jaccard_pairs)."""
+    return r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS token
+  FROM documents WHERE doc_id < 300
+), toks2 AS (SELECT id, token FROM toks WHERE token <> ''),
+sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
+rare AS (SELECT token FROM toks2 GROUP BY token HAVING count(*) <= 290),
+gen AS (SELECT id, token FROM toks2 WHERE token IN (SELECT token FROM rare)),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM gen a JOIN gen b USING (token)
+  WHERE a.id < b.id GROUP BY 1, 2
+),
+inter AS (
+  SELECT id_a, id_b, count(*) AS i
+  FROM cand
+  JOIN toks2 a ON a.id = cand.id_a
+  JOIN toks2 b ON b.id = cand.id_b AND a.token = b.token
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.8"""
+
+
+def _quality_sql() -> str:
+    """Mirror of textstats.quality_score (rounded to 6dp on both sides)."""
+    from search_engine_tr_spark.operators.textstats import (
+        EN_STOPWORDS, TR_STOPWORDS)
+
+    stop = ", ".join(f"'{w}'" for w in TR_STOPWORDS + EN_STOPWORDS)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS w,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+           AS punct
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         least(n_chars / 500.0, 1.0) AS len_score,
+         CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END
+           AS punct_ratio,
+         CASE WHEN len(w) > 0
+              THEN len(list_filter(w, x -> list_contains([{stop}], x))) / len(w)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(w) > 0
+              THEN list_sum(list_transform(w, x -> length(x))) / len(w)
+              ELSE 0.0 END AS mean_wlen
+  FROM base
+)
+SELECT doc_id,
+       round(len_score * 0.3
+             + greatest(0.0, 1.0 - punct_ratio * 4) * 0.2
+             + least(stop_ratio * 5, 1.0) * 0.3
+             + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10
+                     THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+FROM m"""
 
 
 def _lang_id_sql() -> str:
