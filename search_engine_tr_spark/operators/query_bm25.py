@@ -52,6 +52,8 @@ class BM25Index:
         self._tstats = spark.read.parquet(self.paths.term_stats).persist()
         self._blocks = spark.read.parquet(self.paths.blocks)
         self._doc_map = None
+        self._doc_meta = None
+        self._domain_scores = None
 
     # -- query plumbing ----------------------------------------------------
     def query_terms(self, raw_query: str) -> list[str]:
@@ -108,3 +110,60 @@ class BM25Index:
             self._doc_map = self.spark.read.parquet(self.paths.doc_map)
         return (top.join(self._doc_map, "doc_id", "left")
                 .orderBy(F.desc("score"), F.asc("doc_id")))
+
+    def search_with_meta(self, raw_query: str, k: int = 10,
+                         mode: str = "wand") -> DataFrame:
+        """Top-k + url + title + description — full J3 parity with the
+        reference result page (src/modules/pagerank.py:119-126,
+        document_search_client_CLI.py:57-61). Both joins happen AFTER the
+        ``limit(k)``: k rows against a broadcast lookup, never a wide join."""
+        with_urls = self.search_with_urls(raw_query, k, mode)
+        if self._doc_meta is None:
+            self._doc_meta = self.spark.read.parquet(self.paths.doc_meta)
+        meta = self._doc_meta.select("doc_id", "title", "description")
+        return (with_urls.join(meta, "doc_id", "left")
+                .select("doc_id", "url", "score", "title", "description")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+
+    def search_blended(self, raw_query: str, k: int = 10,
+                       mode: str = "wand", alpha: float = 0.1,
+                       candidates: int | None = None) -> DataFrame:
+        """BM25 × domain-authority blend — the engine-mode counterpart of
+        the reference's backlink-score pass (backlink_analyser.py +
+        document_score_calculator authority term).
+
+        Takes the BM25 top-C (C = ``candidates`` or max(10k, 100)), joins
+        each hit's base URL against the persisted ``domain_scores`` table
+        (plans.backlinks.refresh_domain_scores), and re-ranks by
+        ``bm25 * (1 + alpha * ln(1 + authority))`` — a multiplicative boost
+        so zero-authority domains keep their BM25 order and alpha=0 is
+        exactly plain BM25. Missing scores table → authority 0 everywhere.
+
+        → (doc_id, url, score, bm25, authority), (score desc, doc_id asc).
+        The candidate set is k-bounded, the scores table is one row per
+        domain: both joins are post-limit broadcasts."""
+        from ..functions.urlfns import base_url_col
+
+        c = candidates or max(10 * k, 100)
+        top = self.search_with_urls(raw_query, c, mode) \
+            .withColumnRenamed("score", "bm25")
+        if self._domain_scores is None and \
+                os.path.isdir(self.paths.domain_scores):
+            self._domain_scores = self.spark.read.parquet(
+                self.paths.domain_scores)
+        top = top.withColumn("_base", base_url_col(F.col("url")))
+        if self._domain_scores is not None:
+            scores = self._domain_scores.select(
+                F.col("domain").alias("_base"), F.col("score").alias("_auth"))
+            top = top.join(F.broadcast(scores), "_base", "left")
+        else:
+            top = top.withColumn("_auth", F.lit(None).cast("double"))
+        blended = (top
+                   .withColumn("authority", F.coalesce("_auth", F.lit(0.0)))
+                   .withColumn("score",
+                               F.col("bm25") *
+                               (1.0 + F.lit(alpha) * F.log1p(F.col("authority")))))
+        return (blended
+                .select("doc_id", "url", "score", "bm25", "authority")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k))

@@ -44,7 +44,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.codec import BLOCK_SIZE, encode_block
-from ..functions.text import extract_text_udf, tokenize_udf
+from ..functions.text import (extract_links_udf, extract_meta_udf,
+                              extract_text_udf, tokenize_udf)
 from ..oracle.refscore import BM25_B, BM25_K1
 from .docids import assign_doc_ids
 from .stats import corpus_stats, doc_lengths, term_stats
@@ -68,6 +69,12 @@ class IndexPaths:
     def meta(self) -> str: return os.path.join(self.root, "meta.json")
     @property
     def pages_text(self) -> str: return os.path.join(self.root, "pages_text")
+    @property
+    def links(self) -> str: return os.path.join(self.root, "links")
+    @property
+    def doc_meta(self) -> str: return os.path.join(self.root, "doc_meta")
+    @property
+    def domain_scores(self) -> str: return os.path.join(self.root, "domain_scores")
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
@@ -171,15 +178,49 @@ def _skew_ratio(df: DataFrame, key: str) -> float:
     return float(row["mx"] / row["mean"]) if row["mean"] else 0.0
 
 
+def materialize_doc_meta(pages: DataFrame, doc_map: DataFrame,
+                         out_path: str) -> None:
+    """(doc_id, url, title, description, keywords) — the result-page
+    metadata the reference attaches to every hit (src/modules/pagerank.py:
+    119-126, document_search_client_CLI.py:57-61)."""
+    (pages.select("url", extract_meta_udf(F.col("html")).alias("m"))
+     .join(doc_map, "url")
+     .select("doc_id", "url",
+             F.col("m.title").alias("title"),
+             F.col("m.description").alias("description"),
+             F.col("m.keywords").alias("keywords"))
+     .write.mode("overwrite").parquet(out_path))
+
+
+def materialize_links(pages: DataFrame, out_path: str) -> None:
+    """(source_url, link_type, target_url, anchor_text) — the backlinks
+    table the reference's crawler persists and backlink_analyser.py:29-62
+    consumes. One explode over the Arrow-batched link extractor; map-only."""
+    (pages.select(
+        F.col("url").alias("source_url"),
+        F.explode(extract_links_udf(F.col("url"), F.col("html"))).alias("l"))
+     .select("source_url",
+             F.col("l.type").alias("link_type"),
+             F.col("l.href").alias("target_url"),
+             F.col("l.anchor_text").alias("anchor_text"))
+     .write.mode("overwrite").parquet(out_path))
+
+
 def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
                 n_shards: int = 32, term_buckets: int = 64,
-                collect_metrics: bool = True, write_text: bool = True) -> dict:
+                collect_metrics: bool = True, write_text: bool = True,
+                write_meta: bool = True, write_links: bool = True) -> dict:
     """Full build. Writes all index tables under ``out_dir``; returns metrics.
 
     ``write_text=True`` also materializes the input_hint contract column —
     the byte-identical extracted ``text`` per url — as a pages_text table
     (url, text, lang). This is part of the job, not an extra: the input
     table arrives with text=NULL and the engine must fill it.
+
+    ``write_meta``/``write_links`` materialize the result-metadata and
+    backlink tables (doc_meta, links) so the standing authority pipeline
+    (plans.backlinks.refresh_domain_scores → search_blended /
+    reference_rank) runs off this build with no hand-assembly.
     """
     paths = IndexPaths(out_dir)
     t0 = time.monotonic()
@@ -192,6 +233,11 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
     doc_map = assign_doc_ids(pages)
     doc_map.write.mode("overwrite").parquet(paths.doc_map)
     doc_map = spark.read.parquet(paths.doc_map)
+
+    if write_meta:
+        materialize_doc_meta(pages, doc_map, paths.doc_meta)
+    if write_links:
+        materialize_links(pages, paths.links)
 
     occ = occurrences_from_pages(pages)
     postings = postings_from_occurrences(occ, doc_map)
