@@ -55,12 +55,30 @@ def main() -> None:
             "overwrite").parquet(pages_path)
     pages = spark.read.parquet(pages_path)
     shutil.rmtree(OUT, ignore_errors=True)
+    # core build timed with meta/links off — row-for-row comparable with
+    # round 1; the new link-graph stages are timed separately below
     t0 = time.monotonic()
     metrics = build_index(spark, pages, OUT, n_shards=CPUS,
-                          term_buckets=64, collect_metrics=False)
+                          term_buckets=64, collect_metrics=False,
+                          write_meta=False, write_links=False)
     timings["index_build"] = time.monotonic() - t0
     extras["docs_per_sec"] = N_PAGES / timings["index_build"]
     extras["postings_per_sec"] = metrics["total_postings"] / timings["index_build"]
+
+    # -- link-graph pipeline stages (round 2) ------------------------------
+    from search_engine_tr_spark.plans.backlinks import refresh_domain_scores
+    from search_engine_tr_spark.plans.index_build import (
+        IndexPaths, materialize_doc_meta, materialize_links)
+
+    paths = IndexPaths(OUT)
+    doc_map = spark.read.parquet(paths.doc_map)
+    t0 = time.monotonic()
+    materialize_doc_meta(pages, doc_map, paths.doc_meta)
+    materialize_links(pages, paths.links)
+    timings["meta_links_build"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    refresh_domain_scores(spark, OUT, mode="indegree")
+    timings["domain_scores"] = time.monotonic() - t0
 
     # -- BM25 query latency over the built index --------------------------
     idx = BM25Index(spark, OUT)
@@ -75,14 +93,17 @@ def main() -> None:
     extras["bm25_p50_ms"] = statistics.median(lat) * 1000
     extras["bm25_p95_ms"] = sorted(lat)[max(0, int(len(lat) * 0.95) - 1)] * 1000
 
-    # -- representative operator queries at SF_DIR ------------------------
+    # blended + metadata result paths (post-limit joins; per-query latency)
+    t0 = time.monotonic()
+    idx.search_with_meta("haber spor", k=10).collect()
+    timings["bm25_with_meta"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    idx.search_blended("haber spor", k=10, alpha=0.1).collect()
+    timings["bm25_blended"] = time.monotonic() - t0
+
+    # -- EVERY gate query at SF_DIR (full round-over-round ladder) ---------
     qreg = entry_mod.queries()
-    headline = [
-        "bm25_docs", "postings", "broadcast_join_agg", "groupagg_pricing",
-        "topk_orders", "tumbling_window", "token_jaccard", "minhash_lsh",
-        "cosine_topk", "exact_dup_groups", "lang_id", "token_count",
-    ]
-    for name in headline:
+    for name in sorted(qreg):
         t0 = time.monotonic()
         qreg[name](spark, SF_DIR).collect()
         timings[name] = time.monotonic() - t0
