@@ -65,9 +65,19 @@ def run_resumable_partitions(manifest: Manifest, chunk_ids: list[int],
     return {"ran": ran, "skipped": skipped}
 
 
+def input_fingerprint(pages: DataFrame) -> dict:
+    """Order-independent input-snapshot fingerprint: row count + XOR of
+    xxhash64(url). One cheap aggregate; identical input ⇒ identical value."""
+    row = pages.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("url")).alias("h")).collect()[0]
+    return {"n_rows": int(row["n"]), "url_xor": int(row["h"] or 0)}
+
+
 def build_index_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
                           n_chunks: int = 8, n_shards: int = 32,
-                          term_buckets: int = 64) -> dict:
+                          term_buckets: int = 64,
+                          input_ref: str | None = None) -> dict:
     """Chunked, resumable variant of plans.index_build.build_index.
 
     Chunking key = pmod(xxhash64(url), n_chunks): a document's postings are
@@ -76,6 +86,11 @@ def build_index_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
     over the FULL snapshot first (its own checkpointed step) so ids are
     identical regardless of chunk interleaving — the resume-bit-identical
     invariant (SURVEY.md §7.3).
+
+    Lineage: the manifest records the input snapshot — the Iceberg snapshot
+    id when ``input_ref`` is a catalog table (sources.catalog), else a
+    content fingerprint — and a RESUME against different input raises
+    instead of silently mixing two snapshots' postings.
     """
     from .docids import assign_doc_ids
     from .index_build import IndexPaths, build_blocks, occurrences_from_pages, \
@@ -85,6 +100,23 @@ def build_index_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(os.path.join(out_dir, "manifest.json"))
+
+    fp = input_fingerprint(pages)
+    if input_ref is not None:
+        from ..sources.catalog import is_table_ref, snapshot_id
+        if is_table_ref(input_ref):
+            fp["iceberg_snapshot"] = snapshot_id(spark, input_ref)
+        fp["ref"] = input_ref
+    recorded = manifest.state["steps"].get("input_snapshot")
+    if recorded is None:
+        manifest.mark_step("input_snapshot", **fp)
+    else:
+        for key in ("n_rows", "url_xor"):
+            if recorded.get(key) != fp[key]:
+                raise ValueError(
+                    f"resume refused: input {key} changed "
+                    f"({recorded.get(key)} → {fp[key]}) — the manifest at "
+                    f"{manifest.path} belongs to a different input snapshot")
 
     if not manifest.step_done("doc_map"):
         dm = assign_doc_ids(pages)

@@ -1,0 +1,79 @@
+"""Physical-plan audits: the properties that make queries scale must be
+visible in the executed plan, not just intended — top-k compiles to
+TakeOrderedAndProject (no global sort), the block reader prunes partitions
+and pushes term filters, scans prune columns, small-side joins broadcast,
+and the postings aggregation does a map-side partial pass."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from search_engine_tr_spark.operators.query_bm25 import BM25Index
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    p = _plan(entry_mod.q_topk_orders(spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_scan_pushdown_and_column_pruning(spark):
+    p = _plan(entry_mod.q_scan_project(spark, SF))
+    assert "PushedFilters" in p and "l_quantity" in p
+    # projection reaches the reader: only the 4 selected columns are read
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_comment" not in read_schema[0]
+    assert "l_extendedprice" in read_schema[0]
+
+
+def test_small_dim_join_broadcasts(spark):
+    p = _plan(entry_mod.q_broadcast_join_agg(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_postings_agg_has_partial_pass(spark):
+    """groupBy(doc,term).count must map-side combine before the exchange."""
+    p = _plan(entry_mod.q_postings(spark, SF), mode="simple")
+    before_exchange = p.split("Exchange")[-1]  # deepest = upstream of shuffle
+    assert "partial_count" in before_exchange
+
+
+def test_bm25_block_read_prunes_partitions_and_pushes_terms(
+        spark, tiny_index):
+    out, _ = tiny_index
+    idx = BM25Index(spark, out)
+    terms = idx.query_terms("haber spor")
+    tmeta = idx._term_meta(terms)
+    assert tmeta
+    buckets = sorted({b for _, _, b in tmeta})
+    blocks = (idx._blocks
+              .filter(F.col("term_bucket").isin(buckets))
+              .filter(F.col("term").isin([t for t, _, _ in tmeta])))
+    p = _plan(blocks)
+    # directory-level pruning on the partition column...
+    assert "PartitionFilters" in p and "term_bucket" in p
+    # ...and the term filter pushed to the parquet reader
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "term" in pushed[0]
+
+
+def test_blended_search_joins_broadcast(spark, tiny_index):
+    out, _ = tiny_index
+    from search_engine_tr_spark.plans.backlinks import refresh_domain_scores
+
+    refresh_domain_scores(spark, out, mode="indegree")
+    idx = BM25Index(spark, out)
+    p = _plan(idx.search_blended("haber spor", k=5))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # nothing shuffles on the result path

@@ -70,6 +70,25 @@ def test_resumed_build_bit_identical(spark, tiny_pages_df, tmp_path):
     assert bl_full == bl_part
 
 
+def test_resume_refuses_changed_input(spark, tiny_pages_df, tmp_path):
+    """The manifest records an input-snapshot fingerprint; resuming the same
+    out_dir against a DIFFERENT input must raise, not mix snapshots."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "guard")
+    build_index_resumable(spark, tiny_pages_df, out, n_chunks=2, n_shards=2,
+                          term_buckets=4)
+    changed = tiny_pages_df.filter(F.col("url") != tiny_pages_df.head()["url"])
+    with pytest.raises(ValueError, match="resume refused"):
+        build_index_resumable(spark, changed, out, n_chunks=2, n_shards=2,
+                              term_buckets=4)
+    # unchanged input still resumes cleanly (everything skipped)
+    summary = build_index_resumable(spark, tiny_pages_df, out, n_chunks=2,
+                                    n_shards=2, term_buckets=4)
+    assert summary["ran"] == []
+
+
 def test_incremental_update_appends_only_new(spark, tiny_pages_df, tmp_path):
     from search_engine_tr_spark.sources.synth import gen_pages, pages_schema
 
