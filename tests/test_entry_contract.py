@@ -62,6 +62,12 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mismatches, (name, mismatches[:5])
 
 
+def test_every_query_has_an_oracle():
+    """Round-2 invariant: no rows-only gate entries — every queries() key
+    carries a full ANSI-SQL oracle (and no orphan oracles)."""
+    assert set(_ORACLES) == set(_QUERIES)
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
