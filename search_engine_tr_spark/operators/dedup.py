@@ -269,8 +269,13 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     """
     n_bits = SIMHASH_BITS[hash_kernel]
     toks = _tokens(df, id_col, text_col)
-    h = _hash64(F.col("token"), kernel=hash_kernel)
-    bits = toks.select(
+    # project the hash ONCE, then extract bits from the column — don't rely
+    # on codegen subexpression elimination to collapse n_bits copies of the
+    # (md5-kernel) hash expression
+    hashed = toks.select(
+        "id", _hash64(F.col("token"), kernel=hash_kernel).alias("_h"))
+    h = F.col("_h")
+    bits = hashed.select(
         "id",
         F.array(*[
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
