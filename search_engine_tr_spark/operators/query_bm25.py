@@ -39,17 +39,33 @@ _RESULT_SCHEMA = T.StructType([
 class BM25Index:
     """Reader over an index directory produced by plans.index_build."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 tstats_mode: str = "memory"):
+        """``tstats_mode``:
+
+        - "memory" (default, single-node/bench): persist the whole
+          term_stats table — hot, one row per term, fine while it fits.
+        - "pruned" (the 10^12-doc path): term_stats stays on disk
+          (partitioned by term_bucket at build time); each query computes
+          its terms' buckets and reads ONLY those partitions — the df/idf
+          lookup cost is bounded by the query's buckets, not the vocabulary.
+        """
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         with open(self.paths.meta) as f:
             self.meta = json.load(f)
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
+        self.term_buckets = int(self.meta.get("term_buckets", 64))
         # build the readers once: the partitioned-dir file listing and
-        # parquet footers are amortized across queries; term_stats is small
-        # relative to the index (one row per term) and hot → persist
-        self._tstats = spark.read.parquet(self.paths.term_stats).persist()
+        # parquet footers are amortized across queries
+        self.tstats_mode = tstats_mode
+        if tstats_mode == "memory":
+            self._tstats = spark.read.parquet(self.paths.term_stats).persist()
+        elif tstats_mode == "pruned":
+            self._tstats = None
+        else:
+            raise ValueError(f"unknown tstats_mode {tstats_mode!r}")
         self._blocks = spark.read.parquet(self.paths.blocks)
         self._doc_map = None
         self._doc_meta = None
@@ -60,11 +76,27 @@ class BM25Index:
         """Unique engine-mode terms, first-appearance order."""
         return list(dict.fromkeys(t for t in normalize_query(raw_query) if t))
 
+    def _buckets_of(self, terms: list[str]) -> list[int]:
+        """term_bucket of each query term — one 1-row job (the bucket hash
+        is JVM xxhash64, so compute it with the same expression)."""
+        row = self.spark.range(1).select(*[
+            F.pmod(F.xxhash64(F.lit(t)), F.lit(self.term_buckets))
+             .cast("int").alias(f"b{i}") for i, t in enumerate(terms)
+        ]).first()
+        return sorted({int(v) for v in row})
+
     def _term_meta(self, terms: list[str]) -> list[tuple[str, int, int]]:
         """[(term, df, term_bucket)] for terms present in the index."""
         if not terms:
             return []
-        rows = self._tstats.filter(F.col("term").isin(terms)).collect()
+        if self._tstats is not None:
+            scan = self._tstats
+        else:
+            # pruned mode: directory-level pruning to the query's buckets
+            scan = (self.spark.read.parquet(self.paths.term_stats)
+                    .filter(F.col("term_bucket")
+                            .isin(self._buckets_of(terms))))
+        rows = scan.filter(F.col("term").isin(terms)).collect()
         by_term = {r["term"]: r for r in rows}
         return [(t, int(by_term[t]["df"]), int(by_term[t]["term_bucket"]))
                 for t in terms if t in by_term]

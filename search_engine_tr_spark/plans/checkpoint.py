@@ -150,7 +150,8 @@ def build_index_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
                   .withColumn("term_bucket",
                               F.pmod(F.xxhash64("term"),
                                      F.lit(term_buckets)).cast("int")))
-        tstats.write.mode("overwrite").parquet(paths.term_stats)
+        tstats.write.mode("overwrite").partitionBy("term_bucket") \
+            .parquet(paths.term_stats)
         blocks = build_blocks(postings, doclens, stats.avgdl, n_shards, term_buckets)
         blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(paths.blocks)
         meta = {

@@ -249,10 +249,14 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
     doclens = doc_lengths(postings).cache()
     stats = corpus_stats(doclens)
 
+    # partitioned by term_bucket: a query's df/idf lookup prunes to its
+    # terms' buckets instead of scanning every term row (at 10^12 docs
+    # term_stats is itself hundreds of millions of rows)
     tstats = (term_stats(postings)
               .withColumn("term_bucket",
                           F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")))
-    tstats.write.mode("overwrite").parquet(paths.term_stats)
+    tstats.write.mode("overwrite").partitionBy("term_bucket") \
+        .parquet(paths.term_stats)
 
     blocks = build_blocks(postings, doclens, stats.avgdl, n_shards, term_buckets)
     (blocks.write.mode("overwrite")

@@ -86,7 +86,8 @@ def rebuild_derived(spark: SparkSession, index_dir: str,
     ts = (term_stats(postings)
           .withColumn("term_bucket",
                       F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")))
-    ts.write.mode("overwrite").parquet(paths.term_stats)
+    ts.write.mode("overwrite").partitionBy("term_bucket") \
+        .parquet(paths.term_stats)
     blocks = build_blocks(postings, doclens, stats.avgdl, n_shards, term_buckets)
     blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(paths.blocks)
     doclens.unpersist()

@@ -68,6 +68,31 @@ def test_bm25_block_read_prunes_partitions_and_pushes_terms(
     assert pushed and "term" in pushed[0]
 
 
+def test_pruned_tstats_mode_matches_memory_and_prunes(spark, tiny_index):
+    """The 10^12-doc term-stats path: df/idf lookups read only the query
+    terms' bucket partitions, and results are identical to memory mode."""
+    out, _ = tiny_index
+    mem = BM25Index(spark, out, tstats_mode="memory")
+    pruned = BM25Index(spark, out, tstats_mode="pruned")
+    terms = mem.query_terms("haber istanbul spor")
+    assert pruned._term_meta(terms) == mem._term_meta(terms)
+    assert ([r.asDict() for r in pruned.search("haber spor", k=5).collect()]
+            == [r.asDict() for r in mem.search("haber spor", k=5).collect()])
+    buckets = pruned._buckets_of(terms)
+    # plan check on a fresh copy of the table: the shared test session has
+    # term_stats persisted (memory mode), and Spark's cache manager swaps
+    # InMemoryRelation into ANY plan over the same path, hiding the scan
+    import tempfile
+
+    fresh = tempfile.mkdtemp() + "/tstats"
+    spark.read.parquet(out + "/term_stats").write \
+        .partitionBy("term_bucket").parquet(fresh)
+    scan = (spark.read.parquet(fresh)
+            .filter(F.col("term_bucket").isin(buckets)))
+    p = _plan(scan)
+    assert "PartitionFilters" in p and "term_bucket" in p
+
+
 def test_blended_search_joins_broadcast(spark, tiny_index):
     out, _ = tiny_index
     from search_engine_tr_spark.plans.backlinks import refresh_domain_scores
