@@ -480,6 +480,14 @@ def q_pairwise_cosine_dupes(spark, sf_dir):
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    """Character-trigram language ID (n-gram profile heuristic)."""
+    from search_engine_tr_spark.operators.textstats import lang_id_ngram
+
+    return (lang_id_ngram(_t(spark, sf_dir, "documents"))
+            .groupBy("lang_pred").agg(F.count("*").cast("long").alias("n")))
+
+
 def q_quality_score(spark, sf_dir):
     """Webtext quality heuristic (length/punct/stopword/word-length gates)."""
     from search_engine_tr_spark.operators.textstats import quality_score
@@ -675,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "quality_score": q_quality_score,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
@@ -886,6 +895,7 @@ SELECT label, count(*)::BIGINT AS n,
                                               x -> x * x)))), 6) AS avg_norm
 FROM embeddings GROUP BY label""",
         "lang_id": _lang_id_sql(),
+        "lang_id_ngram": _lang_id_ngram_sql(),
         "quality_score": _quality_sql(),
         "bpe_token_count": r"""
 SELECT doc_id,
@@ -1088,6 +1098,39 @@ FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE i / (sa.sz + sb.sz - i) >= 0.8"""
+
+
+def _lang_id_ngram_sql() -> str:
+    """Mirror of textstats.lang_id_ngram (char-trigram profiles)."""
+    from search_engine_tr_spark.operators.textstats import (
+        EN_TRIGRAMS, TR_TRIGRAMS)
+
+    tr = ", ".join(f"'{t}'" for t in TR_TRIGRAMS)
+    en = ", ".join(f"'{t}'" for t in EN_TRIGRAMS)
+    return rf"""
+WITH b AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+  FROM documents
+), t AS (
+  SELECT doc_id, CASE WHEN length(s) >= 3
+    THEN list_transform(range(1, length(s) - 1),
+                        i -> substring(s, i::INT, 3))
+    ELSE [] END AS tg
+  FROM b
+), m AS (
+  SELECT doc_id, len(tg) AS n,
+         len(list_filter(tg, x -> list_contains([{tr}], x))) AS trh,
+         len(list_filter(tg, x -> list_contains([{en}], x))) AS enh
+  FROM t
+), lab AS (
+  SELECT doc_id, CASE
+    WHEN n = 0 THEN 'unknown'
+    WHEN trh > enh AND trh / n::DOUBLE > 0.01 THEN 'tr'
+    WHEN enh > trh AND enh / n::DOUBLE > 0.01 THEN 'en'
+    ELSE 'unknown' END AS lang_pred
+  FROM m
+)
+SELECT lang_pred, count(*)::BIGINT AS n FROM lab GROUP BY lang_pred"""
 
 
 def _quality_sql() -> str:

@@ -64,6 +64,45 @@ def lang_id(df: DataFrame, text_col: str = "text",
          .otherwise(F.lit("unknown")))
 
 
+# high-frequency character trigrams (public knowledge: frequency tables of
+# common Turkish / English text)
+TR_TRIGRAMS = [
+    "lar", "ler", "bir", " bi", "in ", "ın ", "en ", "an ", "eri", "ve ",
+    " ve", "ara", "ını", "arı", "nda", "ile", " ka", "da ", "de ", "iği",
+]
+EN_TRIGRAMS = [
+    "the", " th", "he ", "ing", "ng ", "and", " an", "nd ", "ion", " of",
+    "of ", "ed ", "to ", " to", "er ", " in", "is ", "on ", "ent", "at ",
+]
+
+
+def char_trigrams(text: Column) -> Column:
+    """Character 3-grams of whitespace-normalized lowercased text."""
+    s = F.regexp_replace(F.lower(text), r"\s+", " ")
+    n = F.length(s)
+    return F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: s.substr(i, F.lit(3)))) \
+        .otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text",
+                  out: str = "lang_pred") -> DataFrame:
+    """Character-trigram language ID — the n-gram upgrade of the stopword
+    heuristic (robust to short/no-stopword text): 'tr' / 'en' / 'unknown'
+    by profile-hit ratio with a 1% floor."""
+    tg = char_trigrams(F.col(text_col))
+    n = F.size(tg)
+    trh = F.size(F.filter(tg, lambda t: t.isin(TR_TRIGRAMS)))
+    enh = F.size(F.filter(tg, lambda t: t.isin(EN_TRIGRAMS)))
+    return df.withColumn(
+        out,
+        F.when(n == 0, F.lit("unknown"))
+         .when((trh > enh) & (trh / n > 0.01), F.lit("tr"))
+         .when((enh > trh) & (enh / n > 0.01), F.lit("en"))
+         .otherwise(F.lit("unknown")))
+
+
 def quality_score(df: DataFrame, text_col: str = "text",
                   out: str = "quality") -> DataFrame:
     """[0,1] heuristic from length, punctuation density, stopword ratio and

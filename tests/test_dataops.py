@@ -130,6 +130,17 @@ def test_textstats(spark, docs):
     assert fp[1] == fp[2] == fp[7] and fp[1] != fp[3]
 
 
+def test_lang_id_ngram(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in textstats.lang_id_ngram(docs).collect()}
+    assert got[4] == "en"   # "the quick brown fox ..." — 'the'/' th'/'he '
+    assert got[6] == "unknown"  # empty text
+    tr_text = spark.createDataFrame(
+        [(1, "bunlar ve şunlar bir arada giderler ve gelirler")],
+        "doc_id long, text string")
+    assert textstats.lang_id_ngram(tr_text).first()["lang_pred"] == "tr"
+
+
 def test_token_jaccard_capped_is_exact(spark, docs):
     """Capped mode bounds pair GENERATION but values stay exact: every pair
     it returns must carry the identical jaccard as uncapped mode, and with a
