@@ -87,6 +87,45 @@ def extract_features(media: DataFrame, skip_errors: bool = True) -> DataFrame:
         .mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("payload", T.BinaryType(), False),
+])
+
+
+def resize_images(media: DataFrame, width: int = 64,
+                  height: int = 64) -> DataFrame:
+    """Image resize over mapInPandas Arrow batches.
+
+    STUB decode (no PIL in this environment): the 'resized image' is the
+    payload deterministically resampled to width*height bytes by striding
+    (real code: PIL decode → resize → re-encode; the Spark plumbing —
+    schema, batch shape, partitioning — is identical either way)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    out = np.zeros(target, dtype=np.uint8)
+                else:
+                    idx = (np.arange(target) * arr.size) // target
+                    out = arr[idx]
+                rows.append((int(mid), width, height, out.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "payload"])
+
+    return (media.filter(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(run, schema=_RESIZE_SCHEMA))
+
+
 def size_balanced(media: DataFrame, partitions: int) -> DataFrame:
     """Repartition so large payloads spread evenly (anti-straggler)."""
     return (media

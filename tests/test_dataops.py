@@ -275,3 +275,12 @@ def test_multimodal_feature_plumbing(spark):
     vid = plan.groupBy("media_id").count().collect()
     assert len(vid) == 10  # a third of 30 are videos
     assert all(r["count"] >= 1 for r in vid)
+    resized = multimodal.resize_images(media, width=8, height=4).collect()
+    assert len(resized) == 10  # a third are images
+    for r in resized:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(bytes(r["payload"])) == 32
+    # deterministic: same input → same bytes
+    again = multimodal.resize_images(media, width=8, height=4).collect()
+    assert ({r["media_id"]: bytes(r["payload"]) for r in resized}
+            == {r["media_id"]: bytes(r["payload"]) for r in again})
