@@ -93,6 +93,14 @@ def main() -> None:
     extras["bm25_p50_ms"] = statistics.median(lat) * 1000
     extras["bm25_p95_ms"] = sorted(lat)[max(0, int(len(lat) * 0.95) - 1)] * 1000
 
+    # batched multi-query throughput: one Spark job for the whole set
+    batch_qs = (qset * 5)[:50]
+    t0 = time.monotonic()
+    idx.search_many(batch_qs, k=10).collect()
+    timings["bm25_batch50"] = time.monotonic() - t0
+    extras["bm25_batched_qps"] = len(batch_qs) / timings["bm25_batch50"]
+    extras["bm25_sequential_qps"] = len(lat) / sum(lat)
+
     # blended + metadata result paths (post-limit joins; per-query latency)
     t0 = time.monotonic()
     idx.search_with_meta("haber spor", k=10).collect()

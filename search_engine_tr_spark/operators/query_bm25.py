@@ -134,6 +134,65 @@ class BM25Index:
         local = blocks.groupBy("shard").applyInPandas(shard_topk, _RESULT_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_many(self, raw_queries: list[str], k: int = 10,
+                    mode: str = "wand") -> DataFrame:
+        """Batched top-k for MANY queries in ONE Spark job →
+        (query, doc_id, score), per query (score desc, doc_id asc), ≤ k rows
+        each.
+
+        Throughput path: a 1000-executor cluster amortizes scheduling and
+        the block scan across the whole batch — one term_stats lookup for
+        the union of terms, one pruned block read for the union of
+        (bucket, term), one applyInPandas pass per shard running every
+        query's WAND against the blocks it already holds, then a per-query
+        window top-k over shards × k × queries rows (tiny)."""
+        from pyspark.sql import Window
+
+        per_query = {q: self.query_terms(q) for q in raw_queries}
+        all_terms = sorted({t for ts in per_query.values() for t in ts})
+        tmeta = self._term_meta(all_terms)
+        present = {t for t, _, _ in tmeta}
+        idfs = {t: bm25_idf(self.n_docs, df) for t, df, _ in tmeta}
+        buckets = sorted({b for _, _, b in tmeta})
+        qterms = {q: [t for t in ts if t in present]
+                  for q, ts in per_query.items()}
+        live = {q: ts for q, ts in qterms.items() if ts}
+        schema = T.StructType([T.StructField("query", T.StringType(), False),
+                               *_RESULT_SCHEMA.fields])
+        if not live:
+            return self.spark.createDataFrame([], schema)
+
+        blocks = (self._blocks
+                  .filter(F.col("term_bucket").isin(buckets))
+                  .filter(F.col("term").isin(sorted(present))))
+        avgdl = self.avgdl
+        kernel = wand_topk if mode == "wand" else exhaustive_topk
+
+        def shard_topk_many(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["term", "block_no"], kind="mergesort")
+            per_term: dict[str, list] = {}
+            for term, max_doc, max_tfn, buf in zip(
+                    pdf["term"], pdf["max_doc_id"], pdf["max_tfnorm"],
+                    pdf["block"]):
+                per_term.setdefault(term, []).append(
+                    (int(max_doc), float(max_tfn), bytes(buf)))
+            out = []
+            for q, terms in live.items():
+                tb = [(idfs[t], per_term[t]) for t in terms if t in per_term]
+                if not tb:
+                    continue
+                for doc, score in kernel(tb, k, avgdl):
+                    out.append((q, doc, score))
+            return pd.DataFrame(out, columns=["query", "doc_id", "score"])
+
+        local = blocks.groupBy("shard").applyInPandas(shard_topk_many, schema)
+        w = Window.partitionBy("query").orderBy(F.desc("score"),
+                                                F.asc("doc_id"))
+        return (local.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k)
+                .drop("_rn")
+                .orderBy("query", F.desc("score"), F.asc("doc_id")))
+
     def search_with_urls(self, raw_query: str, k: int = 10,
                          mode: str = "wand") -> DataFrame:
         """Top-k + url — metadata join AFTER the limit (tiny broadcast)."""

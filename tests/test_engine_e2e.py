@@ -88,6 +88,21 @@ def test_bm25_no_result_query(spark, tiny_index):
     assert idx.search("zzzzz qqqqq").count() == 0
 
 
+def test_search_many_matches_individual(spark, tiny_index):
+    """Batched N-queries-one-job path must return exactly the per-query
+    results of the single-query path (incl. a no-hit query dropping out)."""
+    out, _ = tiny_index
+    idx = BM25Index(spark, out)
+    qs = list(reference_queries())[:4] + ["zzzzz qqqqq"]
+    batched = {}
+    for r in idx.search_many(qs, k=10).collect():
+        batched.setdefault(r["query"], []).append((r["doc_id"], r["score"]))
+    for q in qs:
+        single = [(r["doc_id"], r["score"])
+                  for r in idx.search(q, k=10).collect()]
+        assert batched.get(q, []) == single, q
+
+
 def test_search_with_urls(spark, tiny_index):
     out, _ = tiny_index
     idx = BM25Index(spark, out)
