@@ -102,6 +102,25 @@ def test_search_with_meta_attaches_title_description(spark, tiny_pages,
         assert h["description"] == doc.description
 
 
+def test_reference_rank_consumes_persisted_scores(spark, tiny_pages_df,
+                                                  tiny_index):
+    """The standing pipeline end-to-end: build → links → persisted
+    domain_scores → parity ranker, no hand-assembled inputs."""
+    from search_engine_tr_spark.operators.refrank import (page_seq_map,
+                                                          reference_rank)
+
+    out, _ = tiny_index
+    refresh_domain_scores(spark, out, mode="indegree")
+    persisted = spark.read.parquet(out + "/domain_scores")
+    postings = spark.read.parquet(out + "/postings")
+    doc_meta = (spark.read.parquet(out + "/doc_map")
+                .join(page_seq_map(tiny_pages_df), "url"))
+    got = reference_rank(postings, doc_meta, "haber spor",
+                         domain_scores=persisted, k=10).collect()
+    assert got and got[0]["pinned"]
+    assert [r["rank"] for r in got] == list(range(len(got)))
+
+
 def test_search_blended_alpha_zero_is_plain_bm25(spark, tiny_index):
     out, _ = tiny_index
     idx = BM25Index(spark, out)
