@@ -218,7 +218,8 @@ class BM25Index:
 
     def search_blended(self, raw_query: str, k: int = 10,
                        mode: str = "wand", alpha: float = 0.1,
-                       candidates: int | None = None) -> DataFrame:
+                       candidates: int | None = None,
+                       with_meta: bool = False) -> DataFrame:
         """BM25 × domain-authority blend — the engine-mode counterpart of
         the reference's backlink-score pass (backlink_analyser.py +
         document_score_calculator authority term).
@@ -254,7 +255,17 @@ class BM25Index:
                    .withColumn("score",
                                F.col("bm25") *
                                (1.0 + F.lit(alpha) * F.log1p(F.col("authority")))))
-        return (blended
-                .select("doc_id", "url", "score", "bm25", "authority")
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k))
+        out = (blended
+               .select("doc_id", "url", "score", "bm25", "authority")
+               .orderBy(F.desc("score"), F.asc("doc_id"))
+               .limit(k))
+        if not with_meta:
+            return out
+        # title/description AFTER the limit, like search_with_meta
+        if self._doc_meta is None:
+            self._doc_meta = self.spark.read.parquet(self.paths.doc_meta)
+        meta = self._doc_meta.select("doc_id", "title", "description")
+        return (out.join(meta, "doc_id", "left")
+                .select("doc_id", "url", "score", "bm25", "authority",
+                        "title", "description")
+                .orderBy(F.desc("score"), F.asc("doc_id")))

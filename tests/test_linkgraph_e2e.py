@@ -132,6 +132,16 @@ def test_search_blended_alpha_zero_is_plain_bm25(spark, tiny_index):
     assert blended == plain
 
 
+def test_search_blended_with_meta(spark, tiny_index):
+    out, _ = tiny_index
+    idx = BM25Index(spark, out)
+    rows = idx.search_blended("haber spor", k=5, alpha=0.1,
+                              with_meta=True).collect()
+    assert rows
+    assert set(rows[0].asDict()) == {"doc_id", "url", "score", "bm25",
+                                     "authority", "title", "description"}
+
+
 def test_search_blended_authority_and_formula(spark, tiny_index):
     out, _ = tiny_index
     refresh_domain_scores(spark, out, mode="indegree")
