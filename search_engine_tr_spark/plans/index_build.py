@@ -158,17 +158,104 @@ def _block_packer(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
     return pack
 
 
+def _enrich_for_blocks(postings: DataFrame, doclens: DataFrame,
+                       n_shards: int, term_buckets: int) -> DataFrame:
+    return (postings.select("doc_id", "term", "tf")
+            .join(doclens, "doc_id")
+            .withColumn("shard",
+                        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
+            .withColumn("term_bucket",
+                        F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")))
+
+
 def build_blocks(postings: DataFrame, doclens: DataFrame, avgdl: float,
                  n_shards: int, term_buckets: int) -> DataFrame:
-    enriched = (postings.select("doc_id", "term", "tf")
-                .join(doclens, "doc_id")
-                .withColumn("shard",
-                            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
-                .withColumn("term_bucket",
-                            F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")))
+    """Group-at-a-time packing: one pandas group per (term_bucket, shard).
+    Simple and fast, but a task holds its whole group in memory — bounded
+    by salting (≤ 1/(B·S) of all postings), which the builder must size."""
+    enriched = _enrich_for_blocks(postings, doclens, n_shards, term_buckets)
     return (enriched
             .groupBy("term_bucket", "shard")
             .applyInPandas(_block_packer(avgdl), schema=_BLOCK_SCHEMA))
+
+
+def _sorted_stream_packer(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
+    """mapInPandas fn over a (term_bucket, shard)-hashed, fully sorted
+    partition: streams Arrow batches, emitting each term's blocks as its
+    sorted run completes. Peak memory = one Arrow batch + one term's
+    in-flight run (df/S postings) — NOT the whole group."""
+    cols = [f.name for f in _BLOCK_SCHEMA.fields]
+
+    def pack(batches):
+        carry = None  # (key(bucket, shard, term), docs, tfs, dls)
+        out_rows: list = []
+
+        def emit(key, d, t, l):
+            bucket, shard, term = key
+            tfnorm = (t * (k1 + 1.0)) / (t + k1 * (1.0 - b + b * l / avgdl))
+            for bno, off in enumerate(range(0, len(d), BLOCK_SIZE)):
+                hi = min(off + BLOCK_SIZE, len(d))
+                blk = encode_block(d[off:hi].astype(np.uint64),
+                                   t[off:hi].astype(np.uint64),
+                                   l[off:hi].astype(np.uint64))
+                out_rows.append((term, int(bucket), int(shard), bno,
+                                 int(hi - off), int(d[hi - 1]),
+                                 float(tfnorm[off:hi].max()), blk))
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            buckets = pdf["term_bucket"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            terms = pdf["term"].to_numpy()
+            docs = pdf["doc_id"].to_numpy(np.int64)
+            tfs = pdf["tf"].to_numpy(np.int64)
+            dls = pdf["dl"].to_numpy(np.int64)
+            change = np.concatenate(([True],
+                                     (terms[1:] != terms[:-1])
+                                     | (buckets[1:] != buckets[:-1])
+                                     | (shards[1:] != shards[:-1])))
+            starts = np.nonzero(change)[0]
+            ends = np.concatenate((starts[1:], [len(terms)]))
+            last = len(starts) - 1
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                key = (buckets[s], shards[s], terms[s])
+                d, t, l = docs[s:e], tfs[s:e], dls[s:e]
+                if carry is not None:
+                    if carry[0] == key:  # run continues across batches
+                        d = np.concatenate((carry[1], d))
+                        t = np.concatenate((carry[2], t))
+                        l = np.concatenate((carry[3], l))
+                    else:
+                        emit(carry[0], carry[1], carry[2], carry[3])
+                    carry = None
+                if i == last:
+                    carry = (key, d, t, l)  # may continue into next batch
+                else:
+                    emit(key, d, t, l)
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=cols)
+                out_rows = []
+        if carry is not None:
+            emit(carry[0], carry[1], carry[2], carry[3])
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    return pack
+
+
+def build_blocks_sorted(postings: DataFrame, doclens: DataFrame, avgdl: float,
+                        n_shards: int, term_buckets: int) -> DataFrame:
+    """The north-rule multi-pass sorted merge: repartition on the block key
+    and SORT WITHIN PARTITIONS, then stream-pack — Spark's external sort
+    spills arbitrarily large partitions to disk, and the packer never holds
+    more than one term run, so this path survives groups (and terms) that
+    exceed task memory. Output is bit-identical to ``build_blocks``."""
+    enriched = _enrich_for_blocks(postings, doclens, n_shards, term_buckets)
+    return (enriched
+            .repartition("term_bucket", "shard")
+            .sortWithinPartitions("term_bucket", "shard", "term", "doc_id")
+            .mapInPandas(_sorted_stream_packer(avgdl), schema=_BLOCK_SCHEMA))
 
 
 def _skew_ratio(df: DataFrame, key: str) -> float:
@@ -209,7 +296,8 @@ def materialize_links(pages: DataFrame, out_path: str) -> None:
 def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
                 n_shards: int = 32, term_buckets: int = 64,
                 collect_metrics: bool = True, write_text: bool = True,
-                write_meta: bool = True, write_links: bool = True) -> dict:
+                write_meta: bool = True, write_links: bool = True,
+                packer: str = "group") -> dict:
     """Full build. Writes all index tables under ``out_dir``; returns metrics.
 
     ``write_text=True`` also materializes the input_hint contract column —
@@ -258,7 +346,8 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
     tstats.write.mode("overwrite").partitionBy("term_bucket") \
         .parquet(paths.term_stats)
 
-    blocks = build_blocks(postings, doclens, stats.avgdl, n_shards, term_buckets)
+    block_fn = {"group": build_blocks, "sorted": build_blocks_sorted}[packer]
+    blocks = block_fn(postings, doclens, stats.avgdl, n_shards, term_buckets)
     (blocks.write.mode("overwrite")
      .partitionBy("term_bucket")
      .parquet(paths.blocks))
