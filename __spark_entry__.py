@@ -488,6 +488,17 @@ def q_lang_id_ngram(spark, sf_dir):
             .groupBy("lang_pred").agg(F.count("*").cast("long").alias("n")))
 
 
+def q_session_windows(spark, sf_dir):
+    """Event-time session windows (gap 1800s) — the batch twin of the
+    stateful streaming sessionizer, value-checked in SQL."""
+    from search_engine_tr_spark.streaming.stateful import sessionize_batch
+
+    out = sessionize_batch(_t(spark, sf_dir, "events"), gap_sec=1800.0)
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("total_value", 4).alias("total_value"))
+
+
 def q_quality_score(spark, sf_dir):
     """Webtext quality heuristic (length/punct/stopword/word-length gates)."""
     from search_engine_tr_spark.operators.textstats import quality_score
@@ -673,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming-shaped
         "tumbling_window": q_tumbling_window,
         "sessionized_counts": q_sessionized_counts,
+        "session_windows": q_session_windows,
         # training-data ops
         "exact_dup_groups": q_exact_dup_groups,
         "token_jaccard": q_token_jaccard,
@@ -851,6 +863,25 @@ FROM events GROUP BY 1, 2""",
         "sessionized_counts": """
 SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS n_events
 FROM events GROUP BY 1, 2""",
+        "session_windows": """
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECONDS
+              THEN 1 ELSE 0 END AS newf
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(newf) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, sid""",
         "exact_dup_groups": """
 SELECT md5(text) AS fingerprint, count(*)::BIGINT AS n_dupes,
        min(doc_id) AS keeper

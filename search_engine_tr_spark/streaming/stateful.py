@@ -102,22 +102,26 @@ def sessionize_batch(events: DataFrame, gap_sec: float = 1800.0) -> DataFrame:
     """Batch twin of the streaming operator — ALL sessions including the
     trailing open one, as native window functions (no Python state):
     session boundary = event-time gap > gap_sec, session id = running count
-    of boundaries per user."""
+    of boundaries per user.
+
+    Gap arithmetic is interval-based (works for TIMESTAMP and
+    TIMESTAMP_NTZ alike, no epoch cast, timezone-proof); session bounds
+    come back as timestamps of the input's type."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    ts_s = F.col("ts").cast("double")
+    gap = F.expr(f"INTERVAL {int(gap_sec)} SECONDS")
     marked = (events
               .select("user_id", "ts", "value")
-              .withColumn("_prev", F.lag(ts_s).over(w))
+              .withColumn("_prev", F.lag("ts").over(w))
               .withColumn("_new", (F.col("_prev").isNull() |
-                                   ((ts_s - F.col("_prev")) > gap_sec))
+                                   ((F.col("ts") - F.col("_prev")) > gap))
                           .cast("long"))
               .withColumn("_sid", F.sum("_new").over(
                   w.rowsBetween(Window.unboundedPreceding, 0))))
     return (marked.groupBy("user_id", "_sid")
-            .agg(F.min(ts_s).alias("session_start"),
-                 F.max(ts_s).alias("session_end"),
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
                  F.count("*").alias("n_events"),
                  F.sum("value").alias("total_value"))
             .drop("_sid"))

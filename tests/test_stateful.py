@@ -29,10 +29,16 @@ def _drain(spark, src, ckpt, sink):
     q.awaitTermination()
 
 
+def _sec(v):
+    """epoch-ish seconds from either path (stream: float, batch: datetime)."""
+    return float(v) if isinstance(v, (int, float)) else v.timestamp()
+
+
 def _shape(rows):
     """tz-free comparable shape: (user, n, total, duration)."""
     return {(r["user_id"], r["n_events"], r["total_value"],
-             round(r["session_end"] - r["session_start"], 3)) for r in rows}
+             round(_sec(r["session_end"]) - _sec(r["session_start"]), 3))
+            for r in rows}
 
 
 def test_sessionize_state_survives_batches_and_restarts(spark, tmp_path):
@@ -60,7 +66,7 @@ def test_sessionize_state_survives_batches_and_restarts(spark, tmp_path):
     last_per_user = {}
     for r in batch:
         cur = last_per_user.get(r["user_id"])
-        if cur is None or r["session_start"] > cur["session_start"]:
+        if cur is None or _sec(r["session_start"]) > _sec(cur["session_start"]):
             last_per_user[r["user_id"]] = r
     expected_closed = _shape(
         [r for r in batch if r is not last_per_user[r["user_id"]]])
