@@ -392,6 +392,15 @@ def q_token_jaccard(spark, sf_dir):
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Character-trigram-set Jaccard pairs (the n-gram dedup twin)."""
+    from search_engine_tr_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return (char_ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dups on the md5 hash kernel — the full band→bucket→
     verify pipeline is replayed in DuckDB (bit-identical 60-bit hashes), so
@@ -689,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "token_jaccard": q_token_jaccard,
         "token_jaccard_capped": q_token_jaccard_capped,
+        "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "token_count": q_token_count,
@@ -935,6 +945,27 @@ SELECT doc_id,
          x -> ceil(length(x) / 4.0)::INT)), 0)::INT AS n_subtokens
 FROM documents""",
         "token_jaccard_capped": _token_jaccard_capped_sql(),
+        "ngram_jaccard": r"""
+WITH g AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(CASE WHEN length(s) >= 3
+           THEN list_transform(range(1, length(s) - 1),
+                               i -> substring(s, i::INT, 3))
+           ELSE [s] END) AS token
+  FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+        FROM documents WHERE doc_id < 150)
+), g2 AS (SELECT id, token FROM g WHERE token <> ''),
+sizes AS (SELECT id, count(*) AS sz FROM g2 GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM g2 a JOIN g2 b USING (token)
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.5""",
         "minhash_lsh": _minhash_lsh_sql(),
         "simhash_pairs": _simhash_sql(),
         "lsh_ann": _lsh_ann_sql(),

@@ -83,6 +83,21 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .filter(F.col("token") != ""))
 
 
+def _char_ngrams(df: DataFrame, id_col: str, text_col: str,
+                 n: int) -> DataFrame:
+    """(id, token) distinct character n-grams of whitespace-normalized
+    lowercased text (docs shorter than n contribute the whole string)."""
+    s = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    ln = F.length(s)
+    grams = F.when(ln >= n, F.transform(
+        F.sequence(F.lit(1), ln - n + 1),
+        lambda i: s.substr(i, F.lit(n)))) \
+        .otherwise(F.array(s))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(grams)).alias("token"))
+            .filter(F.col("token") != ""))
+
+
 def token_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
                         id_col: str = "doc_id", text_col: str = "text",
                         max_token_df: int | None = None) -> DataFrame:
@@ -98,6 +113,23 @@ def token_jaccard_pairs(df: DataFrame, threshold: float = 0.8,
     (when two docs share no sub-cap token), never mis-score one.
     """
     toks = _tokens(df, id_col, text_col)
+    return _jaccard_pairs_from_units(toks, threshold, max_token_df)
+
+
+def char_ngram_jaccard_pairs(df: DataFrame, n: int = 3,
+                             threshold: float = 0.5,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             max_gram_df: int | None = None) -> DataFrame:
+    """Exact character-n-gram-set Jaccard ≥ threshold — the n-gram twin of
+    ``token_jaccard_pairs`` (robust to word-boundary edits), same
+    candidate-bounding semantics via ``max_gram_df``."""
+    grams = _char_ngrams(df, id_col, text_col, n)
+    return _jaccard_pairs_from_units(grams, threshold, max_gram_df)
+
+
+def _jaccard_pairs_from_units(toks: DataFrame, threshold: float,
+                              max_token_df: int | None) -> DataFrame:
+    """Shared inverted-index Jaccard core over a (id, token) unit table."""
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     if max_token_df is None:
         a = toks.select(F.col("id").alias("id_a"), "token")
