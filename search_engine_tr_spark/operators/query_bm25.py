@@ -70,6 +70,10 @@ class BM25Index:
         self._doc_map = None
         self._doc_meta = None
         self._domain_scores = None
+        # per-term (df, bucket) memo — a BM25Index is a snapshot reader
+        # (n_docs/avgdl frozen at construction), so term stats are immutable
+        # for its lifetime; repeated terms skip the lookup job entirely
+        self._term_memo: dict[str, tuple[int, int] | None] = {}
 
     # -- query plumbing ----------------------------------------------------
     def query_terms(self, raw_query: str) -> list[str]:
@@ -89,17 +93,22 @@ class BM25Index:
         """[(term, df, term_bucket)] for terms present in the index."""
         if not terms:
             return []
-        if self._tstats is not None:
-            scan = self._tstats
-        else:
-            # pruned mode: directory-level pruning to the query's buckets
-            scan = (self.spark.read.parquet(self.paths.term_stats)
-                    .filter(F.col("term_bucket")
-                            .isin(self._buckets_of(terms))))
-        rows = scan.filter(F.col("term").isin(terms)).collect()
-        by_term = {r["term"]: r for r in rows}
-        return [(t, int(by_term[t]["df"]), int(by_term[t]["term_bucket"]))
-                for t in terms if t in by_term]
+        missing = [t for t in terms if t not in self._term_memo]
+        if missing:
+            if self._tstats is not None:
+                scan = self._tstats
+            else:
+                # pruned mode: directory-level pruning to the query's buckets
+                scan = (self.spark.read.parquet(self.paths.term_stats)
+                        .filter(F.col("term_bucket")
+                                .isin(self._buckets_of(missing))))
+            rows = scan.filter(F.col("term").isin(missing)).collect()
+            found = {r["term"]: (int(r["df"]), int(r["term_bucket"]))
+                     for r in rows}
+            for t in missing:
+                self._term_memo[t] = found.get(t)  # None = absent, memoized
+        return [(t, *self._term_memo[t]) for t in terms
+                if self._term_memo[t] is not None]
 
     def search(self, raw_query: str, k: int = 10,
                mode: str = "wand") -> DataFrame:
