@@ -3,7 +3,11 @@
 
     spark-submit --py-files dist/search_engine_tr_spark.zip \
         jobs/query_job.py <index_dir> "<query>" [--k 10] [--mode wand] \
-        [--urls] [--cache DIR]
+        [--urls] [--meta] [--blended [--alpha 0.1]] [--cache DIR]
+
+--meta attaches url + title + description (the reference result page);
+--blended re-ranks by BM25 × domain authority (requires domain_scores from
+jobs/backlinks_job.py; missing table degrades to plain BM25).
 """
 
 from __future__ import annotations
@@ -18,6 +22,9 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["wand", "exhaustive"], default="wand")
     ap.add_argument("--urls", action="store_true")
+    ap.add_argument("--meta", action="store_true")
+    ap.add_argument("--blended", action="store_true")
+    ap.add_argument("--alpha", type=float, default=0.1)
     ap.add_argument("--cache", default=None,
                     help="result-cache table dir (read-through + repair)")
     args = ap.parse_args()
@@ -34,6 +41,11 @@ def main() -> None:
         df, hit = ResultCache(spark, args.cache).cached_search(
             idx, args.query, k=args.k)
         print(f"cache_hit={hit}")
+    elif args.blended:
+        df = idx.search_blended(args.query, k=args.k, mode=args.mode,
+                                alpha=args.alpha, with_meta=args.meta)
+    elif args.meta:
+        df = idx.search_with_meta(args.query, k=args.k, mode=args.mode)
     elif args.urls:
         df = idx.search_with_urls(args.query, k=args.k, mode=args.mode)
     else:
