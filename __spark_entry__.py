@@ -576,10 +576,10 @@ def q_incremental_postings(spark, sf_dir):
     """T2/J5 invariant: postings built as base + anti-join-discovered
     increment (real parquet append, like the incremental index path) must
     equal a full one-shot build — the oracle is the plain full-postings SQL."""
-    import shutil
+    import tempfile
 
-    out = "/tmp/graft_incr_postings"
-    shutil.rmtree(out, ignore_errors=True)
+    # unique dir per invocation: safe under a parallel gate harness
+    out = tempfile.mkdtemp(prefix="graft_incr_postings_") + "/postings"
     docs = _t(spark, sf_dir, "documents")
 
     def postings_of(d: DataFrame) -> DataFrame:
