@@ -53,15 +53,21 @@ def _ratio_in(words: Column, vocab: list[str]) -> Column:
 
 def lang_id(df: DataFrame, text_col: str = "text",
             out: str = "lang_pred") -> DataFrame:
-    """Stopword-ratio language ID: 'tr' / 'en' / 'unknown'."""
-    w = words_col(F.col(text_col))
+    """Stopword-ratio language ID: 'tr' / 'en' / 'unknown'.
+
+    The words array is materialized once in its own projection so the split
+    runs once per row, not once per ratio expression (Spark does no CSE
+    inside/around higher-order-function lambdas; CollapseProject keeps a
+    non-cheap multiply-referenced alias in its own project)."""
+    staged = df.withColumn("_li_w", words_col(F.col(text_col)))
+    w = F.col("_li_w")
     tr = _ratio_in(w, TR_STOPWORDS)
     en = _ratio_in(w, EN_STOPWORDS)
-    return df.withColumn(
+    return staged.withColumn(
         out,
         F.when((tr > en) & (tr > 0.02), F.lit("tr"))
          .when((en > tr) & (en > 0.02), F.lit("en"))
-         .otherwise(F.lit("unknown")))
+         .otherwise(F.lit("unknown"))).drop("_li_w")
 
 
 # high-frequency character trigrams (public knowledge: frequency tables of
@@ -77,12 +83,19 @@ EN_TRIGRAMS = [
 
 
 def char_trigrams(text: Column) -> Column:
-    """Character 3-grams of whitespace-normalized lowercased text."""
-    s = F.regexp_replace(F.lower(text), r"\s+", " ")
-    n = F.length(s)
+    """Character 3-grams of whitespace-normalized lowercased text.
+
+    NOTE: pass an *attribute* (a materialized column), not a compound
+    expression — the substr lambda references ``text`` once per array
+    element and Spark does no CSE inside HOF lambdas, so a compound input
+    is re-evaluated O(len) times per row (the round-2 scale-killer:
+    78.9 s vs 1.4 s on the same 5k-doc table). ``lang_id_ngram`` below
+    stages the normalization in its own projection for exactly this
+    reason."""
+    n = F.length(text)
     return F.when(n >= 3, F.transform(
         F.sequence(F.lit(1), n - 2),
-        lambda i: s.substr(i, F.lit(3)))) \
+        lambda i: text.substr(i, F.lit(3)))) \
         .otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
@@ -90,25 +103,48 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text",
                   out: str = "lang_pred") -> DataFrame:
     """Character-trigram language ID — the n-gram upgrade of the stopword
     heuristic (robust to short/no-stopword text): 'tr' / 'en' / 'unknown'
-    by profile-hit ratio with a 1% floor."""
-    tg = char_trigrams(F.col(text_col))
-    n = F.size(tg)
-    trh = F.size(F.filter(tg, lambda t: t.isin(TR_TRIGRAMS)))
-    enh = F.size(F.filter(tg, lambda t: t.isin(EN_TRIGRAMS)))
-    return df.withColumn(
-        out,
-        F.when(n == 0, F.lit("unknown"))
-         .when((trh > enh) & (trh / n > 0.01), F.lit("tr"))
-         .when((enh > trh) & (enh / n > 0.01), F.lit("en"))
-         .otherwise(F.lit("unknown")))
+    by profile-hit ratio with a 1% floor.
+
+    Plan shape (the O(n²)-per-doc fix): three staged projections —
+    (1) normalize the string ONCE, (2) build the trigram array ONCE from
+    that attribute, (3) take the three counts from the array attribute —
+    so the regexp runs once per row and each trigram is a 3-char substr of
+    a stored string. CollapseProject keeps the stages separate because the
+    staged aliases are non-cheap and multiply-referenced."""
+    staged = (df
+              .withColumn("_lng_s",
+                          F.regexp_replace(F.lower(F.col(text_col)),
+                                           r"\s+", " "))
+              .withColumn("_lng_tg", char_trigrams(F.col("_lng_s")))
+              .withColumn("_lng_n", F.size("_lng_tg"))
+              .withColumn("_lng_tr",
+                          F.size(F.filter(F.col("_lng_tg"),
+                                          lambda t: t.isin(TR_TRIGRAMS))))
+              .withColumn("_lng_en",
+                          F.size(F.filter(F.col("_lng_tg"),
+                                          lambda t: t.isin(EN_TRIGRAMS)))))
+    n, trh, enh = F.col("_lng_n"), F.col("_lng_tr"), F.col("_lng_en")
+    return (staged
+            .withColumn(
+                out,
+                F.when(n == 0, F.lit("unknown"))
+                 .when((trh > enh) & (trh / n > 0.01), F.lit("tr"))
+                 .when((enh > trh) & (enh / n > 0.01), F.lit("en"))
+                 .otherwise(F.lit("unknown")))
+            .drop("_lng_s", "_lng_tg", "_lng_n", "_lng_tr", "_lng_en"))
 
 
 def quality_score(df: DataFrame, text_col: str = "text",
                   out: str = "quality") -> DataFrame:
     """[0,1] heuristic from length, punctuation density, stopword ratio and
-    mean word length — the usual webtext quality gates."""
+    mean word length — the usual webtext quality gates.
+
+    The words array is staged in its own projection (same HOF-lambda
+    no-CSE reasoning as lang_id): one split per row instead of one per
+    score component."""
+    df = df.withColumn("_q_w", words_col(F.col(text_col)))
     text = F.col(text_col)
-    w = words_col(text)
+    w = F.col("_q_w")
     n_chars = F.length(text)
     n_words = F.size(w)
     punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
@@ -126,7 +162,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     return df.withColumn(
         out,
         (len_score * 0.3 + punct_score * 0.2 + stop_score * 0.3
-         + wlen_score * 0.2))
+         + wlen_score * 0.2)).drop("_q_w")
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
