@@ -38,6 +38,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit rmtree: unique per invocation (parallel-harness
+    safe) AND reclaimed when this process exits, so repeated gate runs
+    don't accumulate /tmp garbage."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -576,10 +589,11 @@ def q_incremental_postings(spark, sf_dir):
     """T2/J5 invariant: postings built as base + anti-join-discovered
     increment (real parquet append, like the incremental index path) must
     equal a full one-shot build — the oracle is the plain full-postings SQL."""
-    import tempfile
-
-    # unique dir per invocation: safe under a parallel gate harness
-    out = tempfile.mkdtemp(prefix="graft_incr_postings_") + "/postings"
+    # unique dir per invocation: safe under a parallel gate harness;
+    # registered for removal at interpreter exit so repeated runs don't
+    # accumulate /tmp garbage (rmtree-now is impossible — the returned
+    # DataFrame is lazy and the driver collects it after we return)
+    out = _scratch_dir("graft_incr_postings_") + "/postings"
     docs = _t(spark, sf_dir, "documents")
 
     def postings_of(d: DataFrame) -> DataFrame:

@@ -18,7 +18,6 @@ Query lifecycle (Spark mapping of SURVEY.md §3.1):
 from __future__ import annotations
 
 import json
-import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +69,7 @@ class BM25Index:
         self._doc_map = None
         self._doc_meta = None
         self._domain_scores = None
+        self._domain_scores_missing = False
         # per-term (df, bucket) memo — a BM25Index is a snapshot reader
         # (n_docs/avgdl frozen at construction), so term stats are immutable
         # for its lifetime; repeated terms skip the lookup job entirely
@@ -149,12 +149,20 @@ class BM25Index:
         (query, doc_id, score), per query (score desc, doc_id asc), ≤ k rows
         each.
 
+        Duplicate raw queries are deduplicated: the result has ONE group per
+        DISTINCT query string (callers fan results back out by joining on
+        the query column) — len(set(raw_queries)) groups, not
+        len(raw_queries).
+
         Throughput path: a 1000-executor cluster amortizes scheduling and
         the block scan across the whole batch — one term_stats lookup for
         the union of terms, one pruned block read for the union of
         (bucket, term), one applyInPandas pass per shard running every
         query's WAND against the blocks it already holds, then a per-query
-        window top-k over shards × k × queries rows (tiny)."""
+        window top-k over shards × k × queries rows (tiny). The
+        query→terms map and idf table ride a Spark broadcast variable, not
+        closure capture, so a 10k-query batch is shipped to each executor
+        once instead of being pickled into every task."""
         from pyspark.sql import Window
 
         per_query = {q: self.query_terms(q) for q in raw_queries}
@@ -176,8 +184,12 @@ class BM25Index:
                   .filter(F.col("term").isin(sorted(present))))
         avgdl = self.avgdl
         kernel = wand_topk if mode == "wand" else exhaustive_topk
+        batch_bc = self.spark.sparkContext.broadcast(
+            {"live": live, "idfs": idfs})
 
         def shard_topk_many(pdf: pd.DataFrame) -> pd.DataFrame:
+            payload = batch_bc.value
+            b_live, b_idfs = payload["live"], payload["idfs"]
             pdf = pdf.sort_values(["term", "block_no"], kind="mergesort")
             per_term: dict[str, list] = {}
             for term, max_doc, max_tfn, buf in zip(
@@ -186,8 +198,8 @@ class BM25Index:
                 per_term.setdefault(term, []).append(
                     (int(max_doc), float(max_tfn), bytes(buf)))
             out = []
-            for q, terms in live.items():
-                tb = [(idfs[t], per_term[t]) for t in terms if t in per_term]
+            for q, terms in b_live.items():
+                tb = [(b_idfs[t], per_term[t]) for t in terms if t in per_term]
                 if not tb:
                     continue
                 for doc, score in kernel(tb, k, avgdl):
@@ -238,7 +250,9 @@ class BM25Index:
         (plans.backlinks.refresh_domain_scores), and re-ranks by
         ``bm25 * (1 + alpha * ln(1 + authority))`` — a multiplicative boost
         so zero-authority domains keep their BM25 order and alpha=0 is
-        exactly plain BM25. Missing scores table → authority 0 everywhere.
+        exactly plain BM25. Missing scores table → authority 0 everywhere
+        (detected by attempting the read — not a local-FS isdir probe — so
+        hdfs://, s3:// index roots blend too; the fallback is logged).
 
         → (doc_id, url, score, bm25, authority), (score desc, doc_id asc).
         The candidate set is k-bounded, the scores table is one row per
@@ -248,10 +262,22 @@ class BM25Index:
         c = candidates or max(10 * k, 100)
         top = self.search_with_urls(raw_query, c, mode) \
             .withColumnRenamed("score", "bm25")
-        if self._domain_scores is None and \
-                os.path.isdir(self.paths.domain_scores):
-            self._domain_scores = self.spark.read.parquet(
-                self.paths.domain_scores)
+        if self._domain_scores is None and not self._domain_scores_missing:
+            # attempt the read and catch the missing-path error: works for
+            # any Hadoop filesystem, unlike an os.path.isdir probe which
+            # silently degrades hdfs://s3:// indexes to authority=0
+            from pyspark.errors import AnalysisException
+            try:
+                scores_df = self.spark.read.parquet(self.paths.domain_scores)
+                scores_df.schema  # force resolution now, not at join time
+                self._domain_scores = scores_df
+            except AnalysisException:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "domain_scores table missing at %s — search_blended "
+                    "falling back to plain BM25 (authority=0)",
+                    self.paths.domain_scores)
+                self._domain_scores_missing = True
         top = top.withColumn("_base", base_url_col(F.col("url")))
         if self._domain_scores is not None:
             scores = self._domain_scores.select(

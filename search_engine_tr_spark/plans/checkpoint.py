@@ -66,12 +66,20 @@ def run_resumable_partitions(manifest: Manifest, chunk_ids: list[int],
 
 
 def input_fingerprint(pages: DataFrame) -> dict:
-    """Order-independent input-snapshot fingerprint: row count + XOR of
-    xxhash64(url). One cheap aggregate; identical input ⇒ identical value."""
+    """Order-independent input-snapshot fingerprint: row count, XOR of
+    xxhash64(url), and XOR of xxhash64 over url + every content column
+    present (html, warc_ts). One cheap aggregate; identical input ⇒
+    identical value. The content XOR is what catches a recrawl with the
+    SAME url set but CHANGED bytes — url_xor alone would wave it through
+    and the resumable build would silently mix two snapshots' postings."""
+    content_cols = ["url"] + [c for c in ("html", "warc_ts")
+                              if c in pages.columns]
     row = pages.agg(
         F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64("url")).alias("h")).collect()[0]
-    return {"n_rows": int(row["n"]), "url_xor": int(row["h"] or 0)}
+        F.bit_xor(F.xxhash64("url")).alias("h"),
+        F.bit_xor(F.xxhash64(*content_cols)).alias("c")).collect()[0]
+    return {"n_rows": int(row["n"]), "url_xor": int(row["h"] or 0),
+            "content_xor": int(row["c"] or 0)}
 
 
 def build_index_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
@@ -111,7 +119,11 @@ def build_index_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
     if recorded is None:
         manifest.mark_step("input_snapshot", **fp)
     else:
-        for key in ("n_rows", "url_xor"):
+        # content_xor checked only when the manifest has it (pre-round-3
+        # manifests recorded n_rows/url_xor only)
+        for key in ("n_rows", "url_xor", "content_xor"):
+            if key not in recorded:
+                continue
             if recorded.get(key) != fp[key]:
                 raise ValueError(
                     f"resume refused: input {key} changed "

@@ -110,7 +110,15 @@ def sessionize_batch(events: DataFrame, gap_sec: float = 1800.0) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.expr(f"INTERVAL {int(gap_sec)} SECONDS")
+    # millisecond interval: a whole-second truncation would disagree with
+    # the streaming twin's float comparison (ts - last > gap_sec) for
+    # fractional gaps — the two paths must share one boundary rule
+    gap_ms = round(gap_sec * 1000)
+    if abs(gap_sec * 1000 - gap_ms) > 1e-6:
+        raise ValueError(f"gap_sec={gap_sec!r} has sub-millisecond "
+                         "precision — the interval comparison cannot "
+                         "represent it; use a whole number of milliseconds")
+    gap = F.expr(f"INTERVAL {int(gap_ms)} MILLISECONDS")
     marked = (events
               .select("user_id", "ts", "value")
               .withColumn("_prev", F.lag("ts").over(w))

@@ -89,6 +89,25 @@ def test_resume_refuses_changed_input(spark, tiny_pages_df, tmp_path):
     assert summary["ran"] == []
 
 
+def test_resume_refuses_same_urls_changed_content(spark, tiny_pages_df,
+                                                  tmp_path):
+    """A recrawl with the SAME url set but different bytes must also be
+    refused — count+url_xor alone would wave it through and the build
+    would silently mix two snapshots' postings (round-2 ADVICE)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "guard_content")
+    build_index_resumable(spark, tiny_pages_df, out, n_chunks=2, n_shards=2,
+                          term_buckets=4)
+    recrawled = tiny_pages_df.withColumn(
+        "html", F.concat(F.col("html"),
+                         F.lit(b"<p>recrawled delta</p>")))
+    with pytest.raises(ValueError, match="content_xor"):
+        build_index_resumable(spark, recrawled, out, n_chunks=2, n_shards=2,
+                              term_buckets=4)
+
+
 def test_incremental_update_appends_only_new(spark, tiny_pages_df, tmp_path):
     from search_engine_tr_spark.sources.synth import gen_pages, pages_schema
 

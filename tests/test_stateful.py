@@ -78,3 +78,26 @@ def test_sessionize_batch_structure(spark):
     out = sessionize_batch(_events_df(spark, rows), gap_sec=_GAP).collect()
     assert _shape(out) == {(1, 2, 2.0, 30.0), (1, 1, 1.0, 0.0),
                            (3, 1, 2.0, 0.0)}
+
+
+def test_sessionize_batch_fractional_gap_matches_fold(spark):
+    """gap_sec=1.5 must NOT truncate to a 1-second interval: events 1.2s
+    apart stay in one session, 1.8s apart split — same rule as the
+    streaming twin's float comparison (round-2 ADVICE)."""
+    from search_engine_tr_spark.streaming.stateful import _fold
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 1.0), (1, 1.2, 1.0), (1, 3.0, 1.0)],
+        "user_id long, sec double, value double"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"), "value")
+    out = sessionize_batch(df, gap_sec=1.5).collect()
+    # 0.0 and 1.2 together (1.2 <= 1.5); 3.0 alone (1.8 > 1.5)
+    assert _shape(out) == {(1, 2, 2.0, 1.2), (1, 1, 1.0, 0.0)}
+    # streaming-fold twin agrees on the same boundaries
+    closed, open_ = _fold(1, [(0.0, 1.0), (1.2, 1.0), (3.0, 1.0)],
+                          None, 1.5)
+    assert [(c[3], round(c[2] - c[1], 3)) for c in closed] == [(2, 1.2)]
+    assert open_[2] == 1
+
+    with pytest.raises(ValueError, match="sub-millisecond"):
+        sessionize_batch(df, gap_sec=1.0005).collect()
