@@ -612,6 +612,67 @@ def q_incremental_postings(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id", "term", "tf")
 
 
+def q_bm25_blocks(spark, sf_dir):
+    """The PRODUCTION query path end-to-end vs DuckDB: build a real packed
+    block index (doc ids, term buckets, varint/delta codec, per-shard
+    block-max WAND, pruned reads) from the documents table, run
+    ``BM25Index.search`` and map hits back to the table's doc_ids.
+
+    The documents fixture is plain space-separated ASCII words, so the
+    engine tokenizer (oracle.htmltext.tokenize over ``<p>text</p>``) and
+    the oracle's regex split produce identical token streams — any score
+    drift would expose a codec/WAND/pruning bug, which is the point.
+
+    Engine doc_ids are hash-partition-ordered (plans.docids), not
+    original-id-ordered, so exact-tie groups (the fixture has duplicate
+    texts) could order differently at the k boundary: we take the engine's
+    top-50 (superset of any tie group at rank 10) and re-rank on
+    (rounded score desc, ORIGINAL doc_id asc) — the oracle's exact rule."""
+    from search_engine_tr_spark.operators.query_bm25 import BM25Index
+    from search_engine_tr_spark.plans.index_build import build_index
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.format_string("https://d%08d.example/p", F.col("doc_id")).alias("url"),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+         .cast("binary").alias("html"),
+        F.lit("en").alias("lang"))
+    out = _scratch_dir("graft_bm25_blocks_")
+    build_index(spark, pages, out, n_shards=8, term_buckets=16,
+                collect_metrics=False, write_text=False,
+                write_meta=False, write_links=False)
+    idx = BM25Index(spark, out)
+    top = idx.search_with_urls(" ".join(_BM25_TERMS), k=50, mode="wand")
+    return (top
+            .withColumn("doc_id0",
+                        F.regexp_extract("url", r"d(\d+)\.example", 1)
+                         .cast("long"))
+            .select(F.col("doc_id0").alias("doc_id"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10))
+
+
+def q_pagerank_scores(spark, sf_dir):
+    """Damped power-iteration PageRank (engine-mode authority,
+    operators.pagerank.pagerank) on a deterministic customer→nation graph,
+    exactly 3 iterations (tol=0 disables early convergence) — the SQL
+    oracle unrolls the same 3 iterations with the same dangling-mass
+    redistribution."""
+    from search_engine_tr_spark.operators.pagerank import pagerank
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .select(
+                 F.concat(F.lit("c"), (F.col("c_custkey") % 97).cast("string"))
+                  .alias("src"),
+                 F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+                  .alias("dst")))
+    ranks = pagerank(edges, damping=0.85, max_iter=3, tol=0.0)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_centroid_per_label(spark, sf_dir):
     """Vector aggregate: per-label mean embedding norm (array math)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -730,6 +791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indegree_scores": q_indegree_scores,
         "topk_with_meta": q_topk_with_meta,
         "incremental_postings": q_incremental_postings,
+        # production engine paths (round 3)
+        "bm25_blocks": q_bm25_blocks,
+        "pagerank_scores": q_pagerank_scores,
     }
 
 
@@ -1000,6 +1064,11 @@ FROM ({_bm25_sql()}) t LEFT JOIN documents d ON t.doc_id = d.doc_id""",
         "incremental_postings": tok_cte + """
 SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks WHERE term <> ''
 GROUP BY doc_id, term""",
+        # the packed-block engine path computes the same math as the
+        # tokenizer-only DataFrame path on this fixture (plain ASCII words,
+        # so both tokenizers agree) — the oracle is the plain BM25 SQL
+        "bm25_blocks": _bm25_sql(),
+        "pagerank_scores": _pagerank_sql(),
     }
 
 
@@ -1244,6 +1313,49 @@ SELECT doc_id,
              + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10
                      THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
 FROM m"""
+
+
+def _pagerank_sql(damping: float = 0.85, iters: int = 3) -> str:
+    """Unrolled power-iteration PageRank oracle (mirrors
+    operators.pagerank.pagerank run with max_iter=iters, tol=0):
+    r_i = (1-d)/n + d*dangling_{i-1}/n + d*Σ_in r_{i-1}/outdeg, where
+    dangling is the rank mass sitting on nodes with no out-edges."""
+    d = repr(damping)
+    parts = [f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || (c_custkey % 97)::VARCHAR AS src,
+                  'n' || n_nationkey::VARCHAR AS dst
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f""",
+d{i} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS d
+  FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src
+  WHERE o.src IS NULL
+),
+m{i} AS (
+  SELECT e.dst AS node, sum(r.rank / o.od) AS m
+  FROM edges e
+  JOIN r{p} r ON e.src = r.node
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nd.node,
+         ((1.0 - {d}) / nn.n + {d} * d{i}.d / nn.n)
+           + {d} * coalesce(m{i}.m, 0.0) AS rank
+  FROM nodes nd CROSS JOIN nn CROSS JOIN d{i}
+  LEFT JOIN m{i} ON nd.node = m{i}.node
+)""")
+    parts.append(f"""
+SELECT node, round(rank, 6) AS rank FROM r{iters}""")
+    return "".join(parts)
 
 
 def _lang_id_sql() -> str:
