@@ -86,15 +86,22 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _char_ngrams(df: DataFrame, id_col: str, text_col: str,
                  n: int) -> DataFrame:
     """(id, token) distinct character n-grams of whitespace-normalized
-    lowercased text (docs shorter than n contribute the whole string)."""
-    s = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    lowercased text (docs shorter than n contribute the whole string).
+
+    The normalized string is staged as its own column first: Spark does no
+    CSE inside HOF lambdas, so substr-ing a compound regexp expression
+    would re-normalize the whole string once per n-gram — O(len²) per doc
+    (the lang_id_ngram bug class, round-2 VERDICT)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_s"))
+    s = F.col("_s")
     ln = F.length(s)
     grams = F.when(ln >= n, F.transform(
         F.sequence(F.lit(1), ln - n + 1),
         lambda i: s.substr(i, F.lit(n)))) \
         .otherwise(F.array(s))
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(grams)).alias("token"))
+    return (base.select("id", F.explode(F.array_distinct(grams)).alias("token"))
             .filter(F.col("token") != ""))
 
 
