@@ -110,6 +110,19 @@ def main() -> None:
     extras["bm25_batched_qps"] = len(set(batch_qs)) / timings["bm25_batch50"]
     extras["bm25_sequential_qps"] = len(lat) / sum(lat)
 
+    # batch=1000 distinct queries: the broadcast-variable path's scaling
+    # row — per-task cost must not grow with batch size beyond the WAND
+    # work itself (the closure-capture version would pickle the whole
+    # query map into every task)
+    big_batch = list(dict.fromkeys(
+        f"{vocab[i % 997]} {vocab[(i * 13 + 7) % 800]}" for i in range(1200)
+    ))[:1000]
+    assert len(set(big_batch)) == 1000
+    t0 = time.monotonic()
+    idx.search_many(big_batch, k=10).collect()
+    timings["bm25_batch1000"] = time.monotonic() - t0
+    extras["bm25_batch1000_qps"] = len(set(big_batch)) / timings["bm25_batch1000"]
+
     # blended + metadata result paths (post-limit joins; per-query latency)
     t0 = time.monotonic()
     idx.search_with_meta("haber spor", k=10).collect()
