@@ -493,6 +493,28 @@ def q_lsh_ann(spark, sf_dir):
     return top.select("vec_id", "cosine")
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN end-to-end vs a FULL SQL replay: deterministic Lloyd's
+    k-means (k=4, 2 iterations, md5-ordered init) → probe the 2
+    query-nearest clusters → exact cosine top-10 inside. The oracle unrolls
+    the same two k-means iterations in SQL (assignment = argmax cosine with
+    lowest-cluster tie-break, update = element-wise mean, empty clusters
+    keep their previous centroid), so a drift in ANY stage — init order,
+    assignment, centroid update, probe ranking, final scan — mismatches.
+    Assignment margins on the fixture (min best-vs-second centroid cosine
+    gap: 1.6e-4 at sf0.001, 8.4e-4 at sf0.01) are ~11 orders above
+    cross-engine summation-order noise."""
+    from search_engine_tr_spark.operators.ivf import (ivf_cosine_topk,
+                                                      kmeans_centroids)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=4, max_iter=2)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = ivf_cosine_topk(emb, [float(x) for x in qvec], cents,
+                          k=10, n_probe=2, round_dp=6)
+    return top.select("vec_id", "cosine")
+
+
 def q_pairwise_cosine_dupes(spark, sf_dir):
     """Embedding near-pairs from shared LSH buckets, exact cosine verify."""
     from search_engine_tr_spark.operators.similarity import pairwise_cosine_dupes
@@ -784,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "pairwise_cosine_dupes": q_pairwise_cosine_dupes,
         "centroid_per_label": q_centroid_per_label,
         # multimodal / link graph / incremental
@@ -1047,6 +1070,7 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.5""",
         "minhash_lsh": _minhash_lsh_sql(),
         "simhash_pairs": _simhash_sql(),
         "lsh_ann": _lsh_ann_sql(),
+        "ivf_ann": _ivf_ann_sql(),
         "pairwise_cosine_dupes": _pairwise_cosine_sql(),
         "frame_sample_plan": """
 SELECT event_id AS media_id,
@@ -1199,6 +1223,66 @@ SELECT vec_id,
 FROM b, qb
 WHERE bit_count(xor(bucket, qbucket)) <= 2
 ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+def _ivf_ann_sql(k: int = 4, iters: int = 2, n_probe: int = 2,
+                 dim: int = 64) -> str:
+    """DuckDB replay of kmeans_centroids(k=4, max_iter=2) +
+    ivf_cosine_topk(n_probe=2, k=10, round_dp=6) vs the vec_id=0 embedding:
+    md5-ordered init, per-iteration (argmax-cosine assignment with
+    lowest-cluster tie-break → element-wise mean, empty cluster keeps its
+    old centroid), probe ranking by centroid cosine, exact rounded cosine
+    top-k over the probed clusters."""
+
+    def assign(src: str, cents: str) -> str:
+        return f"""(
+  SELECT vec_id, v, cluster FROM (
+    SELECT {src}.vec_id, {src}.v, c.cluster,
+           row_number() OVER (PARTITION BY {src}.vec_id
+             ORDER BY list_cosine_similarity({src}.v, c.cv) DESC, c.cluster)
+             AS rn
+    FROM e {src} CROSS JOIN {cents} c) WHERE rn = 1
+)"""
+
+    parts = [f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (
+  SELECT cluster, v AS cv FROM (
+    SELECT v, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+             AS cluster
+    FROM e) WHERE cluster < {k}
+)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f""",
+a{i} AS {assign("e", f"c{p}")},
+m{i} AS (
+  SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cluster, t.i AS pos, avg(a.v[t.i]) AS m
+    FROM a{i} a CROSS JOIN range(1, {dim + 1}) t(i)
+    GROUP BY a.cluster, t.i)
+  GROUP BY cluster
+),
+c{i} AS (
+  SELECT c.cluster, coalesce(m.cv, c.cv) AS cv
+  FROM c{p} c LEFT JOIN m{i} m ON c.cluster = m.cluster
+)""")
+    parts.append(f""",
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cluster FROM (
+    SELECT c.cluster,
+           row_number() OVER (
+             ORDER BY list_cosine_similarity((SELECT qv FROM q), c.cv) DESC,
+                      c.cluster) AS rn
+    FROM c{iters} c) WHERE rn <= {n_probe}
+),
+af AS {assign("e", f"c{iters}")}
+SELECT vec_id,
+       round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
+FROM af WHERE cluster IN (SELECT cluster FROM probe)
+ORDER BY cosine DESC, vec_id LIMIT 10""")
+    return "".join(parts)
 
 
 def _pairwise_cosine_sql() -> str:
