@@ -579,6 +579,43 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample_plan(media, every_ms=250)
 
 
+def q_audio_rms(spark, sf_dir):
+    """REAL multimodal decode path value-checked end-to-end: deterministic
+    int16 samples derived from event_ids are PACKED to little-endian PCM
+    bytes (pcm16_pack_udf), then DECODED and framed to per-frame RMS by the
+    real operator (audio_frame_rms). The oracle recomputes the RMS from the
+    same integer recurrence WITHOUT the binary round-trip — any encode or
+    decode bug mismatches. Sum-of-squares is exact int64 arithmetic, so
+    the values are engine-independent before the final sqrt/round."""
+    from search_engine_tr_spark.operators.multimodal import (audio_frame_rms,
+                                                             pcm16_pack_udf)
+
+    ev = _t(spark, sf_dir, "events")
+    samples = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: ((F.col("event_id") * 31 + j * 17) % 20011 - 10005)
+        .cast("int"))
+    media = ev.select(F.col("event_id").alias("media_id"),
+                      pcm16_pack_udf(samples).alias("payload"))
+    out = audio_frame_rms(media, frame=16)
+    return out.select("media_id", "frame_no",
+                      F.round("rms", 6).alias("rms"))
+
+
+def q_hopping_window(spark, sf_dir):
+    """Overlapping (hopping) event-time windows — the sliding counterpart
+    of q_tumbling_window, via the native F.window operator (2h window,
+    1h slide: every event lands in exactly two windows)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev
+            .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                     "event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total"))
+            .select(F.col("w.start").alias("win_start"), "event_type",
+                    "n", "total"))
+
+
 def q_indegree_scores(spark, sf_dir):
     """Backlink in-degree authority (A5/J4/F8) through the real
     ``indegree_authority`` operator — URL-shaped edges derived from
@@ -789,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where": q_delete_where,
         # streaming-shaped
         "tumbling_window": q_tumbling_window,
+        "hopping_window": q_hopping_window,
         "sessionized_counts": q_sessionized_counts,
         "session_windows": q_session_windows,
         # training-data ops
@@ -811,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_per_label": q_centroid_per_label,
         # multimodal / link graph / incremental
         "frame_sample_plan": q_frame_sample,
+        "audio_rms": q_audio_rms,
         "indegree_scores": q_indegree_scores,
         "topk_with_meta": q_topk_with_meta,
         "incremental_postings": q_incremental_postings,
@@ -971,6 +1010,24 @@ WHERE NOT (l_discount > 0.05)""",
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*)::BIGINT AS n, round(sum(value), 4) AS total
 FROM events GROUP BY 1, 2""",
+        "hopping_window": """
+SELECT win_start, event_type, count(*)::BIGINT AS n,
+       round(sum(value), 4) AS total
+FROM (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS win_start,
+         event_type, value
+  FROM events)
+GROUP BY win_start, event_type""",
+        "audio_rms": """
+WITH samp AS (
+  SELECT event_id, t.i AS j,
+         ((event_id * 31 + t.i * 17) % 20011) - 10005 AS s
+  FROM events CROSS JOIN range(0, 64) t(i)
+)
+SELECT event_id AS media_id, (j // 16)::INT AS frame_no,
+       round(sqrt(sum(s * s) / 16.0), 6) AS rms
+FROM samp GROUP BY event_id, j // 16""",
         "sessionized_counts": """
 SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS n_events
 FROM events GROUP BY 1, 2""",

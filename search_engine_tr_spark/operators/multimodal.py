@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning) is real and tested; the actual media decoding is
-STUBBED — image/audio libraries are not available in this environment, so
+signatures, partitioning) is real and tested. IMAGE decoding is STUBBED —
+image libraries are not available in this environment, so
 ``_decode_image_stub`` derives a deterministic fake feature vector from the
-payload bytes (byte-histogram). Swap ``_decode_image_stub`` for a
-PIL/torchvision call in production; nothing else changes.
+payload bytes (byte-histogram); swap it for a PIL/torchvision call in
+production and nothing else changes. AUDIO decoding is REAL: raw 16-bit
+PCM needs only numpy, so ``pcm16_pack_udf`` / ``audio_frame_rms`` encode
+and decode actual bytes and the binary round-trip is value-checked in the
+driver gate (audio_rms).
 
 Scale notes: mapInPandas streams Arrow batches through one Python worker
 per partition — batch size is bounded by spark.sql.execution.arrow.
@@ -124,6 +127,64 @@ def resize_images(media: DataFrame, width: int = 64,
     return (media.filter(F.col("kind") == "image")
             .select("media_id", "payload")
             .mapInPandas(run, schema=_RESIZE_SCHEMA))
+
+
+@F.pandas_udf(T.BinaryType())
+def pcm16_pack_udf(samples: pd.Series) -> pd.Series:
+    """array<int> → little-endian 16-bit PCM bytes (Arrow-batched).
+
+    This is a REAL audio codec path, not a stub — raw PCM needs only
+    numpy. Values must fit int16; out-of-range raises (a real encoder
+    would clip or error too)."""
+    out = []
+    for arr in samples:
+        if arr is None:
+            out.append(None)
+            continue
+        a = np.asarray(arr, dtype=np.int64)
+        if a.size and (a.max() > 32767 or a.min() < -32768):
+            raise ValueError("sample out of int16 range")
+        out.append(a.astype("<i2").tobytes())
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def _pcm16_frame_rms_udf(payload: pd.Series, frame: pd.Series) -> pd.Series:
+    """binary PCM16 → per-frame RMS list. sum-of-squares is exact int64
+    arithmetic (≤ 2^15² per sample), so the value is engine-independent."""
+    out = []
+    for b, fr in zip(payload, frame):
+        fr = int(fr)
+        if b is None or fr <= 0:
+            out.append([])
+            continue
+        s = np.frombuffer(bytes(b), dtype="<i2").astype(np.int64)
+        n = (s.size // fr) * fr
+        if n == 0:
+            out.append([])
+            continue
+        sq = (s[:n] * s[:n]).reshape(-1, fr).sum(axis=1)
+        out.append(np.sqrt(sq / float(fr)).tolist())
+    return pd.Series(out)
+
+
+def audio_frame_rms(media: DataFrame, frame: int = 16,
+                    id_col: str = "media_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """Decode 16-bit little-endian PCM payloads and emit per-frame RMS:
+    → (media_id, frame_no, rms). A REAL multimodal decode + feature
+    extraction (PCM needs no external codec lib), unlike the image-stub
+    paths: the binary round-trip is exercised end-to-end. Trailing partial
+    frames are dropped (standard frame-feature convention).
+
+    Map-only: one Arrow-batched UDF pass + posexplode; at 100 TB the only
+    knob is size-balanced partitioning (``size_balanced``) before it."""
+    return (media
+            .select(F.col(id_col).alias("media_id"),
+                    F.posexplode(
+                        _pcm16_frame_rms_udf(F.col(payload_col),
+                                             F.lit(frame))
+                    ).alias("frame_no", "rms")))
 
 
 def size_balanced(media: DataFrame, partitions: int) -> DataFrame:

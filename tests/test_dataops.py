@@ -284,3 +284,34 @@ def test_multimodal_feature_plumbing(spark):
     again = multimodal.resize_images(media, width=8, height=4).collect()
     assert ({r["media_id"]: bytes(r["payload"]) for r in resized}
             == {r["media_id"]: bytes(r["payload"]) for r in again})
+
+
+def test_pcm16_roundtrip_rms(spark):
+    """Real audio path: pack int16 samples → binary PCM → decode → framed
+    RMS; values checked against a numpy reference, partial frame dropped,
+    null payload empty."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, list(range(-8, 8)) + [100] * 16 + [7] * 5),  # 2 frames + partial
+        (2, [0] * 16),                                   # exactly 1 frame
+        (3, [5] * 3),                                    # shorter than frame
+        (4, None),                                       # null payload
+    ]
+    df = spark.createDataFrame(rows, T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("samples", T.ArrayType(T.IntegerType()), True)]))
+    media = df.select("media_id",
+                      multimodal.pcm16_pack_udf("samples").alias("payload"))
+    out = {(r["media_id"], r["frame_no"]): r["rms"]
+           for r in multimodal.audio_frame_rms(media, frame=16).collect()}
+    exp_f0 = math.sqrt(sum(x * x for x in range(-8, 8)) / 16.0)
+    assert out == {(1, 0): exp_f0, (1, 1): 100.0, (2, 0): 0.0}
+
+    # out-of-int16-range samples refuse to encode (no silent wraparound)
+    bad = spark.createDataFrame([(9, [40000])], df.schema)
+    with pytest.raises(Exception, match="int16"):
+        bad.select(multimodal.pcm16_pack_udf("samples")).collect()
