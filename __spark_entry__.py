@@ -616,6 +616,26 @@ def q_hopping_window(spark, sf_dir):
                     "n", "total"))
 
 
+def q_asof_join(spark, sf_dir):
+    """Temporal as-of join (tagged-union + carry-forward window) vs
+    DuckDB's NATIVE ASOF JOIN: each non-purchase event picks up the value
+    of the user's most recent purchase at-or-before its timestamp. The
+    right side is deduped per (user_id, ts) on both sides so the matched
+    row is well-defined."""
+    from search_engine_tr_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_type") != "purchase")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("ref_value")))
+    out = asof_join(left, right, on="user_id", ts="ts",
+                    value_cols=["ref_value"])
+    return out.select("event_id", "user_id",
+                      F.round("ref_value_asof", 6).alias("ref_value"))
+
+
 def q_indegree_scores(spark, sf_dir):
     """Backlink in-degree authority (A5/J4/F8) through the real
     ``indegree_authority`` operator — URL-shaped edges derived from
@@ -804,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_then_join": q_agg_then_join,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
+        "asof_join": q_asof_join,
         # aggregations
         "groupagg_pricing": q_groupagg_pricing,
         "count_distinct": q_count_distinct,
@@ -918,6 +939,15 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
         "semi_join": """
 SELECT c_custkey FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+        "asof_join": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
+), r AS (
+  SELECT user_id, ts, max(value) AS ref_value FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, round(r.ref_value, 6) AS ref_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "groupagg_pricing": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
