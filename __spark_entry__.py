@@ -636,6 +636,37 @@ def q_asof_join(spark, sf_dir):
                       F.round("ref_value_asof", 6).alias("ref_value"))
 
 
+def q_range_join(spark, sf_dir):
+    """Key-less point-in-interval join through the bucketed range-join
+    operator (a plain Spark BETWEEN join with no equi-key would be a
+    BroadcastNestedLoopJoin): 25 overlapping 3h intervals anchored at the
+    corpus's first event, each aggregating the events whose microsecond
+    timestamp it contains. Oracle = the same BETWEEN join in SQL."""
+    from search_engine_tr_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    n = _t(spark, sf_dir, "nation")
+    # NTZ → microseconds via timestampdiff: timezone-independent (matches
+    # DuckDB epoch_us regardless of the caller session's timeZone, unlike
+    # unix_micros which requires a tz cast)
+    pts = ev.select(
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("pt"),
+        "value")
+    base = pts.agg(F.min("pt").alias("b"))
+    hours2, hours3 = 7_200_000_000, 10_800_000_000
+    iv = (n.crossJoin(F.broadcast(base))
+          .select(F.col("n_nationkey").alias("interval_id"),
+                  (F.col("b") + F.col("n_nationkey") * hours2).alias("s"),
+                  (F.col("b") + F.col("n_nationkey") * hours2 + hours3)
+                  .alias("e")))
+    joined = range_join(pts, iv, point="pt", start="s", end="e",
+                        bucket_width=3_600_000_000)
+    return (joined.groupBy("interval_id")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total")))
+
+
 def q_indegree_scores(spark, sf_dir):
     """Backlink in-degree authority (A5/J4/F8) through the real
     ``indegree_authority`` operator — URL-shaped edges derived from
@@ -825,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         # aggregations
         "groupagg_pricing": q_groupagg_pricing,
         "count_distinct": q_count_distinct,
@@ -948,6 +980,17 @@ WITH l AS (
 )
 SELECT l.event_id, l.user_id, round(r.ref_value, 6) AS ref_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "range_join": """
+WITH base AS (SELECT min(epoch_us(ts)) AS b FROM events),
+iv AS (
+  SELECT n_nationkey AS interval_id,
+         b + n_nationkey::BIGINT * 7200000000 AS s,
+         b + n_nationkey::BIGINT * 7200000000 + 10800000000 AS e
+  FROM nation CROSS JOIN base
+)
+SELECT interval_id, count(*)::BIGINT AS n, round(sum(value), 4) AS total
+FROM events JOIN iv ON epoch_us(ts) BETWEEN s AND e
+GROUP BY interval_id""",
         "groupagg_pricing": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
