@@ -80,14 +80,35 @@ class BM25Index:
         """Unique engine-mode terms, first-appearance order."""
         return list(dict.fromkeys(t for t in normalize_query(raw_query) if t))
 
+    # above this many lookup terms, switch from isin literals to a
+    # broadcast join: a 30k-literal In expression is a pathological
+    # Catalyst tree (parse/optimize cost grows with the batch), while a
+    # broadcast hash join of a tiny terms frame is flat
+    _ISIN_MAX = 256
+
     def _buckets_of(self, terms: list[str]) -> list[int]:
-        """term_bucket of each query term — one 1-row job (the bucket hash
+        """term_bucket of each query term — one small job (the bucket hash
         is JVM xxhash64, so compute it with the same expression)."""
-        row = self.spark.range(1).select(*[
-            F.pmod(F.xxhash64(F.lit(t)), F.lit(self.term_buckets))
-             .cast("int").alias(f"b{i}") for i, t in enumerate(terms)
-        ]).first()
-        return sorted({int(v) for v in row})
+        if len(terms) <= self._ISIN_MAX:
+            row = self.spark.range(1).select(*[
+                F.pmod(F.xxhash64(F.lit(t)), F.lit(self.term_buckets))
+                 .cast("int").alias(f"b{i}") for i, t in enumerate(terms)
+            ]).first()
+            return sorted({int(v) for v in row})
+        tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
+        rows = (tdf.select(F.pmod(F.xxhash64("term"),
+                                  F.lit(self.term_buckets))
+                           .cast("int").alias("b")).distinct().collect())
+        return sorted(int(r["b"]) for r in rows)
+
+    def _filter_terms(self, df: DataFrame, terms: list[str]) -> DataFrame:
+        """term ∈ terms — isin literals for small sets, broadcast join for
+        big batches (10k-query batches union tens of thousands of terms)."""
+        if len(terms) <= self._ISIN_MAX:
+            return df.filter(F.col("term").isin(terms))
+        tdf = self.spark.createDataFrame([(t,) for t in sorted(set(terms))],
+                                         "term string")
+        return df.join(F.broadcast(tdf), "term")
 
     def _term_meta(self, terms: list[str]) -> list[tuple[str, int, int]]:
         """[(term, df, term_bucket)] for terms present in the index."""
@@ -102,7 +123,7 @@ class BM25Index:
                 scan = (self.spark.read.parquet(self.paths.term_stats)
                         .filter(F.col("term_bucket")
                                 .isin(self._buckets_of(missing))))
-            rows = scan.filter(F.col("term").isin(missing)).collect()
+            rows = self._filter_terms(scan, missing).collect()
             found = {r["term"]: (int(r["df"]), int(r["term_bucket"]))
                      for r in rows}
             for t in missing:
@@ -179,9 +200,9 @@ class BM25Index:
         if not live:
             return self.spark.createDataFrame([], schema)
 
-        blocks = (self._blocks
-                  .filter(F.col("term_bucket").isin(buckets))
-                  .filter(F.col("term").isin(sorted(present))))
+        blocks = self._filter_terms(
+            self._blocks.filter(F.col("term_bucket").isin(buckets)),
+            sorted(present))
         avgdl = self.avgdl
         kernel = wand_topk if mode == "wand" else exhaustive_topk
         batch_bc = self.spark.sparkContext.broadcast(

@@ -103,6 +103,27 @@ def test_search_many_matches_individual(spark, tiny_index):
         assert batched.get(q, []) == single, q
 
 
+def test_search_many_broadcast_lookup_path(spark, tiny_index, monkeypatch):
+    """Forcing the big-batch term lookup (broadcast join instead of isin
+    literals) must not change any result — the switch is purely a plan
+    choice for 10k-query batches."""
+    out, _ = tiny_index
+    qs = list(reference_queries())[:4]
+    idx_lit = BM25Index(spark, out)
+    expected = sorted((r["query"], r["doc_id"], round(r["score"], 9))
+                      for r in idx_lit.search_many(qs, k=10).collect())
+    monkeypatch.setattr(BM25Index, "_ISIN_MAX", 0)
+    idx_bc = BM25Index(spark, out)
+    got = sorted((r["query"], r["doc_id"], round(r["score"], 9))
+                 for r in idx_bc.search_many(qs, k=10).collect())
+    assert got == expected
+    # pruned term-stats mode exercises _buckets_of's big-batch branch too
+    idx_pruned = BM25Index(spark, out, tstats_mode="pruned")
+    got_p = sorted((r["query"], r["doc_id"], round(r["score"], 9))
+                   for r in idx_pruned.search_many(qs, k=10).collect())
+    assert got_p == expected
+
+
 def test_search_with_urls(spark, tiny_index):
     out, _ = tiny_index
     idx = BM25Index(spark, out)
