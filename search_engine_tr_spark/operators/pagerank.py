@@ -64,27 +64,38 @@ def pagerank(links: DataFrame, damping: float = 0.85, max_iter: int = 20,
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(max_iter):
-        with_deg = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
-        dangling = (with_deg.filter(F.col("out_deg").isNull())
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-                    .collect()[0]["d"])
+        # dangling mass rides the plan as a broadcast 1-row aggregate —
+        # no driver collect per iteration; arithmetic order matches the
+        # previous literal form bit-for-bit:
+        # ((1-d)/n + d*dangling/n) + d*in_mass
+        dang = (ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
+                .filter(F.col("out_deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")))
         contribs = (edges.join(ranks, edges["src"] == ranks["node"])
                     .join(out_deg, "src")
                     .select(F.col("dst").alias("node"),
                             (F.col("rank") / F.col("out_deg")).alias("c")))
         summed = contribs.groupBy("node").agg(F.sum("c").alias("in_mass"))
-        base = (1.0 - damping) / n + damping * dangling / n
         new_ranks = (nodes.join(summed, "node", "left")
+                     .crossJoin(F.broadcast(dang))
                      .select("node",
-                             (F.lit(base) + F.lit(damping) *
+                             (F.lit((1.0 - damping) / n)
+                              + F.lit(damping) * F.col("_dang") / F.lit(float(n))
+                              + F.lit(damping) *
                               F.coalesce(F.col("in_mass"), F.lit(0.0))).alias("rank")))
         if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
             new_ranks = new_ranks.localCheckpoint()
-        delta = (new_ranks.alias("n")
-                 .join(ranks.alias("o"), "node")
-                 .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("l1"))
-                 .collect()[0]["l1"])
-        ranks = new_ranks
-        if delta is not None and delta < tol:
-            break
+        if tol > 0:
+            # convergence check costs one extra job per iteration — tol=0
+            # (fixed-iteration mode, e.g. the gate oracle) skips it
+            delta = (new_ranks.alias("n")
+                     .join(ranks.alias("o"), "node")
+                     .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank")))
+                          .alias("l1"))
+                     .collect()[0]["l1"])
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks
