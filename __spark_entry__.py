@@ -532,6 +532,17 @@ def q_lang_id_ngram(spark, sf_dir):
             .groupBy("lang_pred").agg(F.count("*").cast("long").alias("n")))
 
 
+def q_trigram_entropy(spark, sf_dir):
+    """Character-trigram Shannon entropy per document (webtext quality:
+    low entropy = repetitive/boilerplate) vs DuckDB's native entropy()
+    aggregate over the same trigram stream."""
+    from search_engine_tr_spark.operators.textstats import \
+        char_trigram_entropy
+
+    return (char_trigram_entropy(_t(spark, sf_dir, "documents"))
+            .select("doc_id", F.round("entropy", 6).alias("entropy")))
+
+
 def q_session_windows(spark, sf_dir):
     """Event-time session windows (gap 1800s) — the batch twin of the
     stateful streaming sessionizer, value-checked in SQL."""
@@ -966,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "quality_score": q_quality_score,
+        "trigram_entropy": q_trigram_entropy,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -1248,6 +1260,19 @@ FROM embeddings GROUP BY label""",
         "lang_id": _lang_id_sql(),
         "lang_id_ngram": _lang_id_ngram_sql(),
         "quality_score": _quality_sql(),
+        "trigram_entropy": r"""
+WITH b AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(CASE WHEN length(s) >= 3
+    THEN list_transform(range(1, length(s) - 1),
+                        i -> substring(s, i::INT, 3))
+    ELSE [] END) AS tg
+  FROM b
+)
+SELECT doc_id, round(entropy(tg), 6) AS entropy
+FROM t GROUP BY doc_id""",
         "bpe_token_count": r"""
 SELECT doc_id,
        coalesce(list_sum(list_transform(

@@ -165,6 +165,30 @@ def quality_score(df: DataFrame, text_col: str = "text",
          + wlen_score * 0.2)).drop("_q_w")
 
 
+def char_trigram_entropy(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         out: str = "entropy") -> DataFrame:
+    """Shannon entropy (base 2) of each document's character-trigram
+    distribution — low entropy flags repetitive/boilerplate/gibberish text
+    (a standard webtext quality signal). Docs shorter than 3 normalized
+    chars produce no trigrams and drop out (same rule as the SQL oracle's
+    unnest of an empty list).
+
+    Shape: explode → two-level aggregate with map-side partial combine;
+    H = log2(N) − Σ c·log2(c) / N avoids materializing per-doc
+    probability vectors."""
+    staged = df.select(
+        F.col(id_col),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_s"))
+    ex = staged.select(id_col,
+                       F.explode(char_trigrams(F.col("_s"))).alias("_t"))
+    counts = ex.groupBy(id_col, "_t").agg(F.count("*").alias("_c"))
+    n = F.sum("_c")
+    return (counts.groupBy(id_col)
+            .agg((F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n)
+                 .alias(out)))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     out: str = "fingerprint") -> DataFrame:
     """Whitespace-normalized md5 fingerprint (near-whitespace-invariant)."""
