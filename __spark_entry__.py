@@ -5,11 +5,15 @@
 ``queries()``      — one entry per implemented operator family from
                      SURVEY.md §2 + the training-data ops, each runnable at
                      any sf dir.
-``oracle_sql()``   — DuckDB-equivalent ANSI SQL for every SQL-expressible
-                     query (same column names; aggregates aliased on both
-                     sides). Probabilistic / kernel operators (MinHash-LSH,
-                     SimHash, LSH-ANN, WAND internals) are rows-only here
-                     and exactly verified in tests/ instead.
+``oracle_sql()``   — DuckDB-equivalent ANSI SQL for EVERY queries() entry
+                     (same column names; aggregates aliased on both
+                     sides). The probabilistic/kernel operators are fully
+                     replayed in SQL too: MinHash-LSH and SimHash via the
+                     md5 60-bit hash kernel, LSH-ANN via plane literals,
+                     IVF via an unrolled k-means, WAND via the plain BM25
+                     formula over a real built index (bm25_blocks), PCM
+                     audio via the generating recurrence. No rows-only
+                     entries (enforced by test_every_query_has_an_oracle).
 """
 
 from __future__ import annotations
