@@ -341,6 +341,51 @@ def q_lag_window(spark, sf_dir):
 # set ops (U1-U2)
 # ---------------------------------------------------------------------------
 
+def q_rollup_pricing(spark, sf_dir):
+    """Multi-level ROLLUP aggregate (per-(flag,status), per-flag subtotals,
+    grand total in one pass — the OLAP cube surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("l_quantity"), 4).alias("sum_qty")))
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Pivot: per-user event counts fanned out to one column per event
+    type (fixed category list keeps the schema static; absent combos are 0
+    on both sides)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup"]
+    piv = (ev.groupBy("user_id")
+           .pivot("event_type", kinds)
+           .agg(F.count(F.lit(1))))  # pivot forbids count(*)
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}")
+          for k in kinds])
+
+
+def q_moving_avg(spark, sf_dir):
+    """Window frame: trailing 3-event moving average of value per user."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    return ev.select("event_id", "user_id",
+                     F.round(F.avg("value").over(w), 6).alias("mavg"))
+
+
+def q_ntile_buckets(spark, sf_dir):
+    """ntile(4) quartile assignment over orders by price (deterministic
+    tie-break on order key)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
 def q_union_all(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     hi = o.filter(F.col("o_totalprice") > 300000).select("o_orderkey")
@@ -944,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         # aggregations
         "groupagg_pricing": q_groupagg_pricing,
+        "rollup_pricing": q_rollup_pricing,
+        "pivot_counts": q_pivot_counts,
         "count_distinct": q_count_distinct,
         "having": q_having,
         "stats": q_stats,
@@ -954,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_shuffle": q_seeded_shuffle,
         "stratified_split": q_stratified_split,
         "lag_window": q_lag_window,
+        "moving_avg": q_moving_avg,
+        "ntile_buckets": q_ntile_buckets,
         # set ops
         "union_all": q_union_all,
         "distinct": q_distinct,
@@ -1087,6 +1136,27 @@ SELECT l_returnflag, l_linestatus,
        round(avg(l_quantity), 6) AS avg_qty,
        count(*)::BIGINT AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "rollup_pricing": """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "pivot_counts": """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup
+FROM events GROUP BY user_id""",
+        "moving_avg": """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+FROM events""",
+        "ntile_buckets": """
+SELECT o_orderkey,
+       ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)::INT
+         AS quartile
+FROM orders""",
         "count_distinct": """
 SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS n_cust
 FROM orders GROUP BY o_orderpriority""",
