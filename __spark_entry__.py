@@ -115,8 +115,16 @@ def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "score"))
 
 
-def _bm25_sql(query_terms: tuple[str, ...] = _BM25_TERMS) -> str:
+def _bm25_sql(query_terms: tuple[str, ...] = _BM25_TERMS,
+              final: bool = True) -> str:
+    """``final=False`` emits the UNROUNDED un-limited score stream — for
+    composition (e.g. the blended oracle multiplies before rounding, so
+    rounding the bm25 term first would drift the product's 6th decimal)."""
     terms = ", ".join(f"'{t}'" for t in query_terms)
+    tail = ("SELECT doc_id, round(sum(w), 6) AS score FROM scored\n"
+            "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"
+            if final else
+            "SELECT doc_id, sum(w) AS score FROM scored GROUP BY doc_id")
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '{_TOKEN_RE}')) AS term
@@ -139,8 +147,7 @@ WITH toks AS (
            / (qt.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS w
   FROM qt JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
 )
-SELECT doc_id, round(sum(w), 6) AS score FROM scored
-GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+{tail}
 """
 
 
@@ -873,6 +880,35 @@ def q_bm25_blocks_batch(spark, sf_dir):
             .select("query", F.col("doc_id0").alias("doc_id"), "score"))
 
 
+def q_bm25_blended_rank(spark, sf_dir):
+    """The authority-blended production mode (BM25Index.search_blended:
+    bm25 × (1 + α·ln(1+authority)) over a persisted domain_scores table)
+    value-checked end-to-end. Each fixture url is its own domain, so a
+    deterministic per-doc authority (doc_id % 7) written as domain_scores
+    makes the whole blend SQL-replayable. candidates=1000 > n_docs ⇒ the
+    engine's bm25 candidate cut keeps every matching doc, removing the one
+    engine-vs-oracle boundary that isn't tie-break-normalizable; the final
+    top-10 uses the same top-50 → re-rank-on-original-id trick as
+    q_bm25_blocks."""
+    from search_engine_tr_spark.functions.urlfns import base_url_col
+
+    idx = _blocks_index(spark, sf_dir)
+    doc_map = spark.read.parquet(idx.paths.doc_map)
+    (doc_map.select(base_url_col(F.col("url")).alias("domain"),
+                    (_orig_doc_id(F.col("url")) % 7).cast("double")
+                    .alias("score"))
+     .write.mode("overwrite").parquet(idx.paths.domain_scores))
+    top = idx.search_blended(" ".join(_BM25_TERMS), k=50, alpha=0.1,
+                             candidates=1000)
+    return (top.withColumn("doc_id0", _orig_doc_id(F.col("url")))
+            .select(F.col("doc_id0").alias("doc_id"),
+                    F.round("score", 6).alias("score"),
+                    F.round("bm25", 6).alias("bm25"),
+                    F.round("authority", 4).alias("authority"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10))
+
+
 def q_pagerank_scores(spark, sf_dir):
     """Damped power-iteration PageRank (engine-mode authority,
     operators.pagerank.pagerank) on a deterministic customer→nation graph,
@@ -1045,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # production engine paths (round 3)
         "bm25_blocks": q_bm25_blocks,
         "bm25_blocks_batch": q_bm25_blocks_batch,
+        "bm25_blended_rank": q_bm25_blended_rank,
         "pagerank_scores": q_pagerank_scores,
     }
 
@@ -1406,6 +1443,14 @@ FROM ({_bm25_sql(_BM25_TERMS)}) s
 UNION ALL
 SELECT '{" ".join(_BM25_TERMS_2)}' AS query, s.doc_id, s.score
 FROM ({_bm25_sql(_BM25_TERMS_2)}) s""",
+        "bm25_blended_rank": f"""
+WITH s AS ({_bm25_sql(_BM25_TERMS, final=False)})
+SELECT s.doc_id,
+       round(s.score * (1 + 0.1 * ln(1 + (s.doc_id % 7))), 6) AS score,
+       round(s.score, 6) AS bm25,
+       round((s.doc_id % 7)::DOUBLE, 4) AS authority
+FROM s
+ORDER BY score DESC, s.doc_id LIMIT 10""",
         "pagerank_scores": _pagerank_sql(),
     }
 
