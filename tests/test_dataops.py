@@ -286,6 +286,23 @@ def test_multimodal_feature_plumbing(spark):
             == {r["media_id"]: bytes(r["payload"]) for r in again})
 
 
+def test_char_trigram_entropy_known_values(spark):
+    """Entropy against hand-computable distributions: an all-identical
+    trigram stream has H=0; 'abcabc...' trigram multiset is uniform over 3
+    distinct trigrams → H=log2(3) as length → ∞ (check the exact finite
+    count); sub-3-char docs drop out."""
+    rows = [(1, "aaaaaa"),       # trigrams all 'aaa' → H = 0
+            (2, "abcabcabc"),    # 7 trigrams: abc×3, bca×2, cab×2
+            (3, "xy")]           # too short → no row
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["entropy"]
+           for r in textstats.char_trigram_entropy(df).collect()}
+    assert set(out) == {1, 2}
+    assert abs(out[1] - 0.0) < 1e-12
+    exp = math.log2(7) - (3 * math.log2(3) + 2 * 2 * math.log2(2)) / 7
+    assert abs(out[2] - exp) < 1e-12
+
+
 def test_pcm16_roundtrip_rms(spark):
     """Real audio path: pack int16 samples → binary PCM → decode → framed
     RMS; values checked against a numpy reference, partial frame dropped,
