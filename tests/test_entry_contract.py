@@ -68,6 +68,29 @@ def test_every_query_has_an_oracle():
     assert set(_ORACLES) == set(_QUERIES)
 
 
+def test_blocks_index_queries_thread_safe(spark):
+    """The three gate queries sharing the memoized scratch index
+    (bm25_blocks / bm25_blocks_batch / bm25_blended_rank) must be safe to
+    invoke CONCURRENTLY — the driver harness may parallelize gate queries
+    in threads. The build must happen exactly once (lock) and each query's
+    result must equal its sequential run."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["bm25_blocks", "bm25_blocks_batch", "bm25_blended_rank"]
+    entry_mod._BLOCKS_INDEX_CACHE.clear()
+
+    def run(name):
+        df = _QUERIES[name](spark, SF)
+        return sorted(map(tuple, df.collect()))
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        concurrent = dict(zip(names, ex.map(run, names)))
+    sequential = {n: run(n) for n in names}
+    for n in names:
+        assert concurrent[n] == sequential[n], n
+    assert len(entry_mod._BLOCKS_INDEX_CACHE) == 1  # built once, reused
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
