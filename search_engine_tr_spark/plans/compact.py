@@ -1,0 +1,68 @@
+"""Small-file compaction for parquet tables — the OPTIMIZE-style
+maintenance pass an incremental pipeline needs: appends (e.g.
+``incremental_index_update``'s per-batch postings) accumulate many small
+files, and at cluster scale the file-listing + task-per-file overhead
+eventually dominates scans.
+
+Strategy: size the output file count from the table's actual bytes
+(``target_mb`` per file), rewrite with a single round-robin repartition
+(no column skew — compaction must not reshuffle semantics, only layout),
+and swap atomically: write to ``<path>.__compact_tmp``, move the old dir
+to ``<path>.__compact_old``, rename tmp into place, delete old. A crash
+leaves either the original or the compacted table readable at ``path``,
+plus at most one orphan dir that the next compaction clears.
+
+Partitioned tables: pass ``partition_by`` to preserve the directory
+layout (each partition's files are compacted within it).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(total_bytes, n_data_files) of the parquet files under path."""
+    total, n = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+                n += 1
+    return total, n
+
+
+def compact_parquet(spark: SparkSession, path: str, target_mb: int = 128,
+                    partition_by: list[str] | None = None) -> dict:
+    """Rewrite the parquet table at ``path`` into ~target_mb files,
+    atomically. Returns {files_before, files_after, bytes, skipped}."""
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    # clear orphans from a previously crashed compaction
+    for d in (tmp, old):
+        shutil.rmtree(d, ignore_errors=True)
+
+    total, files_before = _dir_stats(path)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if files_before <= n_out:
+        return {"files_before": files_before, "files_after": files_before,
+                "bytes": total, "skipped": True}
+
+    df = spark.read.parquet(path)
+    writer = df.repartition(n_out).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    # atomic-enough swap: two renames; any crash point leaves a readable
+    # table at `path` (original until the second rename, compacted after)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    _, files_after = _dir_stats(path)
+    return {"files_before": files_before, "files_after": files_after,
+            "bytes": total, "skipped": False}
