@@ -12,6 +12,13 @@ hash shuffle — choose ``bucket_width`` near the typical interval width so
 the explode factor stays ~2. Bucket ids come from a floor of a double
 division: monotonic in the input, so boundary rounding can never separate
 a pair (l ≥ s ⇒ bucket(l) ≥ bucket(s), l ≤ e ⇒ bucket(l) ≤ bucket(e)).
+
+Skew: a bucket where many intervals overlap (or many points land) is an
+inherent range-join hot spot — the join fan-out there IS the output size.
+If one bucket dominates, AQE's skew-join split handles the shuffle side;
+truly pathological overlap (thousands of intervals × millions of points
+in one bucket) means the OUTPUT is quadratic and needs an upstream cap,
+not a different join.
 """
 
 from __future__ import annotations

@@ -14,6 +14,12 @@ plus at most one orphan dir that the next compaction clears.
 
 Partitioned tables: pass ``partition_by`` to preserve the directory
 layout (each partition's files are compacted within it).
+
+Scope: the stat/swap plumbing uses the local filesystem (os.walk /
+os.rename), which is what this sandbox has. On HDFS/S3 swap through the
+Hadoop FileSystem API (rename is atomic on HDFS; on S3 prefer a
+table-format rewrite — Iceberg rewrite_data_files — since S3 "rename" is
+copy+delete). The Spark rewrite itself is storage-agnostic.
 """
 
 from __future__ import annotations
