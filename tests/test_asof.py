@@ -1,6 +1,8 @@
 """asof_join edge semantics: equal-timestamp ties match, missing history
 is NULL, carry-forward spans multiple left rows, multiple value columns."""
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from search_engine_tr_spark.operators.asof import asof_join
@@ -40,6 +42,54 @@ def test_asof_join_subset_value_cols_and_suffix(spark):
     assert set(res.columns) == {"key", "ts", "lval", "rval_x"}
     got = {(r["key"], r["ts"]): r["rval_x"] for r in res.collect()}
     assert got[(1, 200)] == 2.0 and got[(2, 50)] is None
+
+
+def _py_asof(left_rows, right_rows):
+    """Pure-Python reference: for each left (key, ts), the right value at
+    the greatest right-ts ≤ ts, else None."""
+    by_key = {}
+    for k, ts, v in right_rows:
+        by_key.setdefault(k, []).append((ts, v))
+    for rs in by_key.values():
+        rs.sort()
+    out = {}
+    for k, ts in left_rows:
+        best = None
+        for rts, v in by_key.get(k, []):
+            if rts <= ts:
+                best = v
+            else:
+                break
+        out[(k, ts)] = best
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)),
+                min_size=1, max_size=40, unique=True),
+       st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)),
+                min_size=0, max_size=25))
+def test_asof_join_matches_python_fold(spark, lefts, rights):
+    """Property: the tagged-union window == a per-key python scan for any
+    key/ts layout (incl. equal timestamps, empty right, never-matching
+    keys). Right side deduped per (key, ts) keeping max value — the
+    operator's determinism contract."""
+    rkeyed = {}
+    for k, ts in rights:
+        v = float(k * 100 + ts)
+        cur = rkeyed.get((k, ts))
+        rkeyed[(k, ts)] = max(cur, v) if cur is not None else v
+    right_rows = [(k, ts, v) for (k, ts), v in rkeyed.items()]
+    left = spark.createDataFrame(list(lefts), "key long, ts long")
+    if right_rows:
+        right = spark.createDataFrame(right_rows,
+                                      "key long, ts long, rv double")
+    else:
+        right = spark.createDataFrame([], "key long, ts long, rv double")
+    got = {(r["key"], r["ts"]): r["rv_asof"]
+           for r in asof_join(left, right, on="key").collect()}
+    exp = _py_asof(list(lefts), right_rows)
+    assert got == exp
 
 
 def test_asof_join_one_shuffle_plan(spark):
