@@ -44,6 +44,38 @@ def test_compact_roundtrip_and_skip(spark, tmp_path):
     assert not os.path.exists(path + ".__compact_tmp")
 
 
+def test_compact_after_incremental_updates_keeps_queries_identical(
+        spark, tiny_pages_df, tmp_path):
+    """The op's actual job: many incremental appends fragment postings and
+    doc_map; compacting them must leave BM25 results byte-identical after
+    the derived tables are rebuilt."""
+    from search_engine_tr_spark.operators.query_bm25 import BM25Index
+    from search_engine_tr_spark.plans.checkpoint import build_index_resumable
+    from search_engine_tr_spark.sources.synth import gen_pages, pages_schema
+    from search_engine_tr_spark.streaming.incremental import (
+        incremental_index_update, rebuild_derived)
+
+    root = str(tmp_path / "inc")
+    build_index_resumable(spark, tiny_pages_df, root, n_chunks=2,
+                          n_shards=2, term_buckets=4)
+    for seed in (91, 92, 93):
+        new = spark.createDataFrame(gen_pages(15, seed=seed),
+                                    schema=pages_schema())
+        incremental_index_update(spark, new, root)
+    rebuild_derived(spark, root, n_shards=2, term_buckets=4)
+    before = [(r["doc_id"], round(r["score"], 9)) for r in
+              BM25Index(spark, root).search("haber spor", k=10).collect()]
+
+    n_before = len(_files(root + "/postings"))
+    for table in ("postings", "doc_map"):
+        compact_parquet(spark, root + "/" + table, target_mb=128)
+    assert len(_files(root + "/postings")) < n_before
+    rebuild_derived(spark, root, n_shards=2, term_buckets=4)
+    after = [(r["doc_id"], round(r["score"], 9)) for r in
+             BM25Index(spark, root).search("haber spor", k=10).collect()]
+    assert after == before
+
+
 def test_compact_preserves_partition_layout(spark, tmp_path):
     path = str(tmp_path / "p")
     df = spark.range(2000).select(
