@@ -430,8 +430,14 @@ def q_normalizers(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_tumbling_window(spark, sf_dir):
+    """Hour tumbling windows via F.window: on a TIMESTAMP_NTZ column the
+    window bounds stay NTZ (timezone-independent, matches DuckDB
+    date_trunc on naive timestamps), whereas F.date_trunc coerces NTZ
+    through the session timezone and shifts under non-UTC sessions —
+    found by running the gate mirror under a UTC+14 session."""
     return (_t(spark, sf_dir, "events")
-            .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .groupBy(F.window("ts", "1 hour").getField("start").alias("hour"),
+                     "event_type")
             .agg(F.count("*").cast("long").alias("n"),
                  F.round(F.sum("value"), 4).alias("total")))
 
