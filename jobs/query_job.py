@@ -3,9 +3,11 @@
 
     spark-submit --py-files dist/search_engine_tr_spark.zip \
         jobs/query_job.py <index_dir> "<query>" [--k 10] [--mode wand] \
-        [--urls] [--meta] [--blended [--alpha 0.1]] [--cache DIR]
+        [--urls] [--meta] [--snippets [--window 8]] \
+        [--blended [--alpha 0.1]] [--cache DIR]
 
 --meta attaches url + title + description (the reference result page);
+--snippets attaches a highlighted context window from pages_text;
 --blended re-ranks by BM25 × domain authority (requires domain_scores from
 jobs/backlinks_job.py; missing table degrades to plain BM25).
 """
@@ -23,6 +25,10 @@ def main() -> None:
     ap.add_argument("--mode", choices=["wand", "exhaustive"], default="wand")
     ap.add_argument("--urls", action="store_true")
     ap.add_argument("--meta", action="store_true")
+    ap.add_argument("--snippets", action="store_true",
+                    help="url + highlighted context window per hit "
+                         "(needs the pages_text table: write_text=True)")
+    ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--blended", action="store_true")
     ap.add_argument("--alpha", type=float, default=0.1)
     ap.add_argument("--cache", default=None,
@@ -44,6 +50,12 @@ def main() -> None:
     elif args.blended:
         df = idx.search_blended(args.query, k=args.k, mode=args.mode,
                                 alpha=args.alpha, with_meta=args.meta)
+    elif args.snippets:
+        from search_engine_tr_spark.operators.snippets import \
+            search_with_snippets
+
+        df = search_with_snippets(idx, args.query, k=args.k,
+                                  window=args.window, mode=args.mode)
     elif args.meta:
         df = idx.search_with_meta(args.query, k=args.k, mode=args.mode)
     elif args.urls:
