@@ -29,6 +29,9 @@ def main() -> None:
                     help="url + highlighted context window per hit "
                          "(needs the pages_text table: write_text=True)")
     ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--phrase", action="store_true",
+                    help="exact consecutive-phrase match over the "
+                         "positional postings (ranked by occurrences)")
     ap.add_argument("--blended", action="store_true")
     ap.add_argument("--alpha", type=float, default=0.1)
     ap.add_argument("--cache", default=None,
@@ -50,6 +53,10 @@ def main() -> None:
     elif args.blended:
         df = idx.search_blended(args.query, k=args.k, mode=args.mode,
                                 alpha=args.alpha, with_meta=args.meta)
+    elif args.phrase:
+        from search_engine_tr_spark.operators.phrase import phrase_search
+
+        df = phrase_search(spark, args.index_dir, args.query, k=args.k)
     elif args.snippets:
         from search_engine_tr_spark.operators.snippets import \
             search_with_snippets
