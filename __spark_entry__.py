@@ -795,20 +795,19 @@ def q_incremental_postings(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id", "term", "tf")
 
 
+import threading as _threading
+
 _BLOCKS_INDEX_CACHE: dict[str, str] = {}
-_BLOCKS_INDEX_LOCK = None
+# created at import time: lazy creation would itself race (two threads
+# each minting their own lock and both entering the build)
+_BLOCKS_INDEX_LOCK = _threading.Lock()
 
 
 def _blocks_index(spark, sf_dir: str):
     """Build (once per process per sf_dir, thread-safe) a real packed block
     index over the documents table and return a BM25Index reader. Shared by
-    the bm25_blocks / bm25_blocks_batch gate entries so the harness doesn't
-    pay the build twice."""
-    import threading
-
-    global _BLOCKS_INDEX_LOCK
-    if _BLOCKS_INDEX_LOCK is None:
-        _BLOCKS_INDEX_LOCK = threading.Lock()
+    the bm25_blocks / bm25_blocks_batch / bm25_blended_rank gate entries so
+    the harness doesn't pay the build twice."""
     from search_engine_tr_spark.operators.query_bm25 import BM25Index
     from search_engine_tr_spark.plans.index_build import build_index
 

@@ -35,8 +35,11 @@ def main() -> None:
     spark = SparkSession.builder.appName("setr-compact").getOrCreate()
     from search_engine_tr_spark.plans.compact import compact_parquet
 
+    # `is None`, not falsiness: an explicitly empty --tables means
+    # "compact nothing", not "compact everything"
+    tables = _DEFAULT_TABLES if args.tables is None else args.tables
     report = {}
-    for t in (args.tables or _DEFAULT_TABLES):
+    for t in tables:
         path = os.path.join(args.index_dir, t)
         if not os.path.isdir(path):
             report[t] = {"skipped": True, "reason": "absent"}

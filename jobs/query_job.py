@@ -30,8 +30,10 @@ def main() -> None:
                          "(needs the pages_text table: write_text=True)")
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--phrase", action="store_true",
-                    help="exact consecutive-phrase match over the "
-                         "positional postings (ranked by occurrences)")
+                    help="consecutive-position phrase match over the "
+                         "positional postings, in the index's position "
+                         "space (tag-replay semantics; see operators/"
+                         "phrase.py), ranked by occurrences")
     ap.add_argument("--blended", action="store_true")
     ap.add_argument("--alpha", type=float, default=0.1)
     ap.add_argument("--cache", default=None,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -36,25 +37,32 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     """
     value_cols = value_cols or [c for c in right.columns
                                 if c not in (on, ts)]
+    # the carried payload is ONE struct per right row (never null itself,
+    # even when every value inside is null): last(ignorenulls) then picks
+    # the latest matched ROW — a right row whose value is NULL correctly
+    # yields NULL (DuckDB ASOF semantics), and multiple value columns can
+    # never mix values from different right rows
+    row_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    null_struct = F.lit(None).cast(
+        T.StructType([right.schema[c] for c in value_cols]))
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols])
+        null_struct.alias("_r"))
     r_tag = right.select(
         on, ts,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (on, ts)],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols])
+        row_struct.alias("_r"))
     stacked = l_tag.unionByName(r_tag)
 
     # right (side=0) sorts before left (side=1) at equal ts → ties match
     w = (Window.partitionBy(on).orderBy(ts, "_side")
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = stacked.select(
-        *stacked.columns,
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w)
-          .alias(f"{c}{suffix}") for c in value_cols])
+    carried = stacked.withColumn(
+        "_r_match", F.last("_r", ignorenulls=True).over(w))
     return (carried.filter(F.col("_side") == 1)
-            .drop("_side", *[f"_r_{c}" for c in value_cols]))
+            .select(*[F.col(c) for c in left.columns],
+                    *[F.col("_r_match").getField(c).alias(f"{c}{suffix}")
+                      for c in value_cols]))

@@ -5,8 +5,19 @@ The reference stores (word, location, tag) per occurrence
 (src/models/db.py:98-102) but never uses locations for matching — only
 the ranker's proximity feature reads them. These operators are the upgrade
 that storage was begging for: phrase match = every query term present with
-CONSECUTIVE locations (the index tokenizer's global per-doc counter makes
-adjacent kept words differ by exactly 1, across tag boundaries).
+CONSECUTIVE locations in the INDEX'S position space.
+
+Position-space caveat (inherited, deliberate): the index tokenizer
+(oracle/htmltext.tokenize, crawler.py:217-245 parity) runs ONE global
+per-doc counter across the weighted-tag records, and nested tags REPLAY
+their words (an <a> inside a <p> contributes under both). Consequently
+(1) a phrase spanning a tag-record boundary can match even though the
+words are not textually adjacent, and (2) a phrase inside a nested tag
+counts once per replaying record. That is what "phrase over this index"
+means — matching the exact positions the reference persists; a
+text-adjacency phrase would need a different tokenizer, not a different
+operator. The parity test pins this by recounting from the oracle
+tokenizer's own positions.
 
 Plan shape: the postings read prunes to the query's terms (predicate
 pushdown), each term contributes one (doc_id, positions) row per doc;
@@ -81,6 +92,11 @@ def phrase_search(spark, index_dir: str, raw_phrase: str,
 
     paths = IndexPaths(index_dir)
     terms = [t for t in normalize_query(raw_phrase) if t]
+    doc_map_schema = "doc_id long, n_matches long, url string"
+    if not terms:
+        # degenerate query (punctuation/whitespace only): empty results,
+        # consistent with the other search modes — never a crash
+        return spark.createDataFrame([], doc_map_schema)
     postings = spark.read.parquet(paths.postings)
     hits = phrase_match(postings, terms)
     top = (hits.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k))

@@ -69,7 +69,6 @@ class BM25Index:
         self._doc_map = None
         self._doc_meta = None
         self._domain_scores = None
-        self._domain_scores_missing = False
         # per-term (df, bucket) memo — a BM25Index is a snapshot reader
         # (n_docs/avgdl frozen at construction), so term stats are immutable
         # for its lifetime; repeated terms skip the lookup job entirely
@@ -283,22 +282,27 @@ class BM25Index:
         c = candidates or max(10 * k, 100)
         top = self.search_with_urls(raw_query, c, mode) \
             .withColumnRenamed("score", "bm25")
-        if self._domain_scores is None and not self._domain_scores_missing:
-            # attempt the read and catch the missing-path error: works for
-            # any Hadoop filesystem, unlike an os.path.isdir probe which
-            # silently degrades hdfs://s3:// indexes to authority=0
+        if self._domain_scores is None:
+            # attempt the read and catch ONLY the missing-path error (works
+            # for any Hadoop filesystem, unlike an os.path.isdir probe):
+            # a corrupt or unreadable table must RAISE, not silently serve
+            # authority=0. Not memoized as missing: the table may appear
+            # after a later backlinks_job run and the next query picks it up
             from pyspark.errors import AnalysisException
             try:
                 scores_df = self.spark.read.parquet(self.paths.domain_scores)
                 scores_df.schema  # force resolution now, not at join time
                 self._domain_scores = scores_df
-            except AnalysisException:
+            except AnalysisException as e:
+                cond = (e.getCondition() if hasattr(e, "getCondition")
+                        else e.getErrorClass())
+                if (cond or "") != "PATH_NOT_FOUND":
+                    raise
                 import logging
                 logging.getLogger(__name__).warning(
                     "domain_scores table missing at %s — search_blended "
                     "falling back to plain BM25 (authority=0)",
                     self.paths.domain_scores)
-                self._domain_scores_missing = True
         top = top.withColumn("_base", base_url_col(F.col("url")))
         if self._domain_scores is not None:
             scores = self._domain_scores.select(

@@ -47,15 +47,22 @@ def with_snippets(hits: DataFrame, pages_text: DataFrame, terms: list[str],
                   window: int = 8, url_col: str = "url",
                   out: str = "snippet") -> DataFrame:
     """hits (post-limit, has ``url``) × pages_text (url, text) →
-    hits + ``snippet``. Broadcast join on url (k rows), one Arrow batch
-    through the snippet UDF."""
+    hits + ``snippet``.
+
+    The k hit urls are collected (k rows — hits is post-limit by contract)
+    and pushed down as a filter into the pages_text scan, so only the k
+    matching text rows are read and broadcast — never the corpus table
+    (broadcasting pages_text itself would OOM on any real index)."""
     terms = [t for t in terms if t]
 
     @F.pandas_udf(T.StringType())
     def snip(text: pd.Series) -> pd.Series:
         return text.map(lambda t: _make_snippet(t, terms, window))
 
-    texts = pages_text.select(url_col, "text")
+    hits = hits.localCheckpoint(eager=True)  # k rows; avoids recompute
+    urls = [r[url_col] for r in hits.select(url_col).collect()]
+    texts = (pages_text.select(url_col, "text")
+             .filter(F.col(url_col).isin(urls)))
     joined = hits.join(F.broadcast(texts), url_col, "left")
     return joined.withColumn(out, snip(F.col("text"))).drop("text")
 

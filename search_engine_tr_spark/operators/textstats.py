@@ -51,6 +51,15 @@ def _ratio_in(words: Column, vocab: list[str]) -> Column:
     return F.when(F.size(words) > 0, hits / F.size(words)).otherwise(F.lit(0.0))
 
 
+def _fresh(df: DataFrame, base: str) -> str:
+    """A staging-column name guaranteed absent from df — so the staged
+    projections can never clobber (and then drop) a caller's column."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
+
+
 def lang_id(df: DataFrame, text_col: str = "text",
             out: str = "lang_pred") -> DataFrame:
     """Stopword-ratio language ID: 'tr' / 'en' / 'unknown'.
@@ -59,15 +68,16 @@ def lang_id(df: DataFrame, text_col: str = "text",
     runs once per row, not once per ratio expression (Spark does no CSE
     inside/around higher-order-function lambdas; CollapseProject keeps a
     non-cheap multiply-referenced alias in its own project)."""
-    staged = df.withColumn("_li_w", words_col(F.col(text_col)))
-    w = F.col("_li_w")
+    wname = _fresh(df, "_li_w")
+    staged = df.withColumn(wname, words_col(F.col(text_col)))
+    w = F.col(wname)
     tr = _ratio_in(w, TR_STOPWORDS)
     en = _ratio_in(w, EN_STOPWORDS)
     return staged.withColumn(
         out,
         F.when((tr > en) & (tr > 0.02), F.lit("tr"))
          .when((en > tr) & (en > 0.02), F.lit("en"))
-         .otherwise(F.lit("unknown"))).drop("_li_w")
+         .otherwise(F.lit("unknown"))).drop(wname)
 
 
 # high-frequency character trigrams (public knowledge: frequency tables of
@@ -111,19 +121,24 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text",
     so the regexp runs once per row and each trigram is a 3-char substr of
     a stored string. CollapseProject keeps the stages separate because the
     staged aliases are non-cheap and multiply-referenced."""
+    names = {b: _fresh(df, b)
+             for b in ("_lng_s", "_lng_tg", "_lng_n", "_lng_tr", "_lng_en")}
     staged = (df
-              .withColumn("_lng_s",
+              .withColumn(names["_lng_s"],
                           F.regexp_replace(F.lower(F.col(text_col)),
                                            r"\s+", " "))
-              .withColumn("_lng_tg", char_trigrams(F.col("_lng_s")))
-              .withColumn("_lng_n", F.size("_lng_tg"))
-              .withColumn("_lng_tr",
-                          F.size(F.filter(F.col("_lng_tg"),
+              .withColumn(names["_lng_tg"],
+                          char_trigrams(F.col(names["_lng_s"])))
+              .withColumn(names["_lng_n"], F.size(names["_lng_tg"]))
+              .withColumn(names["_lng_tr"],
+                          F.size(F.filter(F.col(names["_lng_tg"]),
                                           lambda t: t.isin(TR_TRIGRAMS))))
-              .withColumn("_lng_en",
-                          F.size(F.filter(F.col("_lng_tg"),
+              .withColumn(names["_lng_en"],
+                          F.size(F.filter(F.col(names["_lng_tg"]),
                                           lambda t: t.isin(EN_TRIGRAMS)))))
-    n, trh, enh = F.col("_lng_n"), F.col("_lng_tr"), F.col("_lng_en")
+    n = F.col(names["_lng_n"])
+    trh = F.col(names["_lng_tr"])
+    enh = F.col(names["_lng_en"])
     return (staged
             .withColumn(
                 out,
@@ -131,7 +146,7 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text",
                  .when((trh > enh) & (trh / n > 0.01), F.lit("tr"))
                  .when((enh > trh) & (enh / n > 0.01), F.lit("en"))
                  .otherwise(F.lit("unknown")))
-            .drop("_lng_s", "_lng_tg", "_lng_n", "_lng_tr", "_lng_en"))
+            .drop(*names.values()))
 
 
 def quality_score(df: DataFrame, text_col: str = "text",
@@ -142,9 +157,10 @@ def quality_score(df: DataFrame, text_col: str = "text",
     The words array is staged in its own projection (same HOF-lambda
     no-CSE reasoning as lang_id): one split per row instead of one per
     score component."""
-    df = df.withColumn("_q_w", words_col(F.col(text_col)))
+    wname = _fresh(df, "_q_w")
+    df = df.withColumn(wname, words_col(F.col(text_col)))
     text = F.col(text_col)
-    w = F.col("_q_w")
+    w = F.col(wname)
     n_chars = F.length(text)
     n_words = F.size(w)
     punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
@@ -162,7 +178,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     return df.withColumn(
         out,
         (len_score * 0.3 + punct_score * 0.2 + stop_score * 0.3
-         + wlen_score * 0.2)).drop("_q_w")
+         + wlen_score * 0.2)).drop(wname)
 
 
 def char_trigram_entropy(df: DataFrame, text_col: str = "text",

@@ -9,8 +9,10 @@ Strategy: size the output file count from the table's actual bytes
 (no column skew — compaction must not reshuffle semantics, only layout),
 and swap atomically: write to ``<path>.__compact_tmp``, move the old dir
 to ``<path>.__compact_old``, rename tmp into place, delete old. A crash
-leaves either the original or the compacted table readable at ``path``,
-plus at most one orphan dir that the next compaction clears.
+at any point leaves the data recoverable: either a table is readable at
+``path``, or (crash between the two renames) the next call's recovery
+block restores ``old`` back to ``path`` before doing anything else —
+``old`` is never deleted unless ``path`` exists.
 
 Partitioned tables: pass ``partition_by`` to preserve the directory
 layout (each partition's files are compacted within it).
@@ -48,24 +50,43 @@ def compact_parquet(spark: SparkSession, path: str, target_mb: int = 128,
     atomically. Returns {files_before, files_after, bytes, skipped}."""
     tmp = path.rstrip("/") + ".__compact_tmp"
     old = path.rstrip("/") + ".__compact_old"
-    # clear orphans from a previously crashed compaction
-    for d in (tmp, old):
-        shutil.rmtree(d, ignore_errors=True)
+    # crash recovery ORDER MATTERS: a crash between the two swap renames
+    # leaves no table at `path` and the only surviving data in `old` —
+    # restore it FIRST; only a leftover alongside an intact `path` is an
+    # orphan safe to clear (never delete `old` unless `path` exists)
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(path):
+        shutil.rmtree(old, ignore_errors=True)
 
     total, files_before = _dir_stats(path)
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    if files_before <= n_out:
+    if partition_by:
+        # one task per hash(partition cols) bucket → ONE file per partition
+        # directory; the converged state is therefore n_partition_dirs
+        # files (a partition larger than target_mb still yields one file —
+        # acceptable for layout maintenance)
+        n_dirs = sum(1 for d in os.listdir(path)
+                     if "=" in d and os.path.isdir(os.path.join(path, d)))
+        converged = max(n_out, n_dirs)
+    else:
+        converged = n_out
+    if files_before <= converged:
         return {"files_before": files_before, "files_after": files_before,
                 "bytes": total, "skipped": True}
 
     df = spark.read.parquet(path)
-    writer = df.repartition(n_out).write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        writer = (df.repartition(n_out, *partition_by)
+                  .write.mode("overwrite").partitionBy(*partition_by))
+    else:
+        writer = df.repartition(n_out).write.mode("overwrite")
     writer.parquet(tmp)
 
-    # atomic-enough swap: two renames; any crash point leaves a readable
-    # table at `path` (original until the second rename, compacted after)
+    # atomic-enough swap: two renames; any crash point leaves the data
+    # recoverable (at `path` until the first rename, in `old` between the
+    # renames — restored by the recovery block above — at `path` after)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)

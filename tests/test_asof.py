@@ -36,6 +36,20 @@ def test_asof_join_semantics(spark):
     assert set(res.columns) == {"key", "ts", "lval", "rval_asof", "tag_asof"}
 
 
+def test_asof_join_null_valued_right_row_matches(spark):
+    """A matched right row whose VALUE is NULL must yield NULL (the row
+    matched; its value is null) — not skip back to an older non-null row;
+    and multiple value columns must all come from the SAME matched row
+    (round-3 review finding)."""
+    left = spark.createDataFrame([(1, 3)], "key long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, "old"), (1, 2, None, "new")],
+        "key long, ts long, rval double, tag string")
+    row = asof_join(left, right, on="key").collect()[0]
+    assert row["rval_asof"] is None      # NOT 5.0
+    assert row["tag_asof"] == "new"      # both columns from ts=2's row
+
+
 def test_asof_join_subset_value_cols_and_suffix(spark):
     left, right = _dfs(spark)
     res = asof_join(left, right, on="key", value_cols=["rval"], suffix="_x")

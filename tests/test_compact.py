@@ -43,6 +43,15 @@ def test_compact_roundtrip_and_skip(spark, tmp_path):
     assert res3["skipped"] is True
     assert not os.path.exists(path + ".__compact_tmp")
 
+    # crash BETWEEN the two swap renames: `path` is gone, data lives only
+    # in `old` — the next call must RESTORE it, never rmtree it
+    # (round-3 review finding: the old code deleted the only copy)
+    os.rename(path, path + ".__compact_old")
+    res4 = compact_parquet(spark, path, target_mb=128)
+    assert res4["skipped"] is True
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    assert not os.path.exists(path + ".__compact_old")
+
 
 def test_compact_after_incremental_updates_keeps_queries_identical(
         spark, tiny_pages_df, tmp_path):
@@ -93,3 +102,9 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     after = sorted(map(tuple, spark.read.parquet(path)
                        .select("id", "bucket").collect()))
     assert after == before
+    # CONVERGES: one file per partition dir, so the next run must skip
+    # instead of rewriting the whole table forever (round-3 review finding)
+    assert res["files_after"] == 3
+    res2 = compact_parquet(spark, path, target_mb=128,
+                           partition_by=["bucket"])
+    assert res2["skipped"] is True

@@ -132,6 +132,33 @@ def test_search_with_urls(spark, tiny_index):
     assert all(r["url"] and r["url"].startswith("https://") for r in rows)
 
 
+def test_blended_fallback_only_on_missing_table(spark, tiny_index, tmp_path):
+    """Missing domain_scores → logged plain-BM25 fallback (authority=0);
+    a CORRUPT domain_scores dir must RAISE, not silently serve zeros
+    (round-3 review finding: the broad AnalysisException catch masked
+    real read failures as 'table missing')."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    out, _ = tiny_index
+    idx = BM25Index(spark, out)
+    scores_dir = idx.paths.domain_scores
+    assert not __import__("os").path.exists(scores_dir)
+    rows = idx.search_blended("haber", k=3).collect()
+    assert rows and all(r["authority"] == 0.0 for r in rows)
+
+    # corrupt table: a dir with an unreadable 'parquet' file
+    import os
+    os.makedirs(scores_dir, exist_ok=True)
+    with open(os.path.join(scores_dir, "part-garbage.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+    idx2 = BM25Index(spark, out)
+    with pytest.raises(Exception):
+        idx2.search_blended("haber", k=3).collect()
+    import shutil
+    shutil.rmtree(scores_dir)
+
+
 def test_build_metrics_sane(tiny_index):
     _, metrics = tiny_index
     assert metrics["n_docs"] > 0

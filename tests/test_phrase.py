@@ -71,3 +71,6 @@ def test_phrase_search_engine_level(spark, tiny_index):
     assert len(one) > 0
     # gibberish phrase → empty
     assert phrase_search(spark, out, "zzqqx wwyyk", k=3).count() == 0
+    # degenerate query (normalizes to zero terms) → empty, not a crash —
+    # same contract as the other search modes (round-3 review finding)
+    assert phrase_search(spark, out, "!!! ...", k=3).count() == 0

@@ -38,6 +38,24 @@ def test_with_snippets_join_shape(spark):
     assert out["u3"] is None              # url missing from pages_text
 
 
+def test_with_snippets_never_broadcasts_the_corpus(spark):
+    """The pages_text side is filtered to the k hit urls BEFORE the
+    broadcast (round-3 review finding: broadcasting the corpus table OOMs
+    on a real index)."""
+    hits = spark.createDataFrame([("u1", 1, 2.0)],
+                                 "url string, doc_id long, score double")
+    pages_text = spark.createDataFrame(
+        [(f"u{i}", f"text {i}") for i in range(500)],
+        "url string, text string")
+    df = with_snippets(hits, pages_text, ["text"], window=2)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the text side carries an IN-filter on exactly the hit urls
+    assert "u1" in optimized and ("IN (" in optimized or "In(" in optimized
+                                  or "= u1" in optimized)
+    out = df.collect()
+    assert len(out) == 1 and "<b>text</b> 1" in out[0]["snippet"]
+
+
 def test_search_with_snippets_e2e(spark, tiny_index):
     from search_engine_tr_spark.operators.query_bm25 import BM25Index
 
