@@ -140,6 +140,49 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     assert {r["key"] for r in twin} == {"k1", "k2"}
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _py_attribution(causes, effects, max_delay_sec):
+    """Pure-python oracle: every (cause, effect) pair with the same key and
+    0 < effect_ts - cause_ts <= max_delay_sec."""
+    return {(k, float(ct), float(et), et - ct)
+            for k, ct in causes for k2, et in effects
+            if k == k2 and 0 < et - ct <= max_delay_sec}
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+                min_size=0, max_size=30),
+       st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+                min_size=0, max_size=30))
+def test_attribution_batch_twin_matches_python(spark, causes, effects):
+    """Property: the batch twin (the stream's semantic oracle) equals a
+    pure-python pair scan for any key/ts layout — duplicates, boundary
+    delays (exactly max_delay in; exactly 0 out), unmatched keys. The
+    interval is seconds-scale so INTERVAL arithmetic crosses no DST-like
+    edge; ts mapped off epoch to mirror real feeds."""
+    B = 10 ** 6
+    crows = [(f"k{k}", B + t) for k, t in causes]
+    erows = [(f"k{k}", B + t) for k, t in effects]
+    cdf = (spark.createDataFrame(crows, "key string, sec long")
+           if crows else spark.createDataFrame([], "key string, sec long"))
+    edf = (spark.createDataFrame(erows, "key string, sec long")
+           if erows else spark.createDataFrame([], "key string, sec long"))
+    got = _join_shape(attribution_join_batch(
+        _to_cause_ts(cdf), _to_effect_ts(edf), "100 seconds").collect())
+    assert got == _py_attribution(crows, erows, 100)
+
+
+def _to_cause_ts(df):
+    return df.select("key", F.timestamp_seconds("sec").alias("cause_ts"))
+
+
+def _to_effect_ts(df):
+    return df.select("key", F.timestamp_seconds("sec").alias("effect_ts"))
+
+
 def test_attribution_stream_plan_is_streaming(spark, tmp_path):
     import os
     c, e = str(tmp_path / "c"), str(tmp_path / "e")
