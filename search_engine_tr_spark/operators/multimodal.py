@@ -1,14 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning) is real and tested. IMAGE decoding is STUBBED —
-image libraries are not available in this environment, so
-``_decode_image_stub`` derives a deterministic fake feature vector from the
-payload bytes (byte-histogram); swap it for a PIL/torchvision call in
-production and nothing else changes. AUDIO decoding is REAL: raw 16-bit
-PCM needs only numpy, so ``pcm16_pack_udf`` / ``audio_frame_rms`` encode
-and decode actual bytes and the binary round-trip is value-checked in the
-driver gate (audio_rms).
+signatures, partitioning) is real and tested. IMAGE decoding is REAL for
+uncompressed netpbm payloads (binary PPM ``P6`` / PGM ``P5`` need only
+numpy: ``decode_image`` / ``encode_ppm``); compressed formats (png/jpeg)
+still fall back to ``_decode_image_stub``'s deterministic byte-histogram
+because their codecs aren't available in this environment — swap the
+fallback for a PIL/torchvision call in production and nothing else
+changes. AUDIO decoding is REAL: raw 16-bit PCM needs only numpy, so
+``pcm16_pack_udf`` / ``audio_frame_rms`` encode and decode actual bytes
+and the binary round-trip is value-checked in the driver gate (audio_rms).
 
 Scale notes: mapInPandas streams Arrow batches through one Python worker
 per partition — batch size is bounded by spark.sql.execution.arrow.
@@ -42,6 +43,73 @@ MEDIA_SCHEMA = T.StructType([
 N_FEATURES = 16
 
 
+def _parse_pnm_header(payload: bytes):
+    """Parse a binary-netpbm header: magic, whitespace/#-comment runs,
+    width, height, maxval, then EXACTLY ONE whitespace byte before the
+    raster. Returns (magic, w, h, raster_offset) or None if malformed.
+    Only 8-bit depth (maxval <= 255) is supported."""
+    if len(payload) < 7 or payload[:2] not in (b"P5", b"P6"):
+        return None
+    magic = payload[:2].decode()
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while (pos < len(payload) and not payload[pos:pos + 1].isspace()
+               and payload[pos:pos + 1] != b"#"):
+            pos += 1
+        if pos == start:
+            return None
+        if not payload[start:pos].isdigit():
+            return None
+        tokens.append(int(payload[start:pos]))
+    if pos >= len(payload) or not payload[pos:pos + 1].isspace():
+        return None
+    pos += 1
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    return magic, w, h, pos
+
+
+def decode_image(payload: bytes):
+    """REAL image decode for uncompressed netpbm bytes — no codec lib
+    needed: binary PPM (``P6``) → (h, w, 3) uint8, binary PGM (``P5``) →
+    (h, w) uint8. Returns None for anything else (malformed header,
+    truncated raster, or a compressed format like png/jpeg) so callers
+    can fall back to the labeled stub."""
+    if payload is None:
+        return None
+    hdr = _parse_pnm_header(bytes(payload))
+    if hdr is None:
+        return None
+    magic, w, h, off = hdr
+    channels = 3 if magic == "P6" else 1
+    need = w * h * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=-1, offset=off)
+    if raster.size < need:
+        return None
+    raster = raster[:need]
+    return (raster.reshape(h, w, 3) if channels == 3
+            else raster.reshape(h, w))
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) or (h, w) uint8 → binary PPM (``P6``) bytes; grayscale is
+    promoted to 3 identical channels. Canonical single-space header, so
+    encode(decode(x)) is byte-stable for canonically-written files."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w, _ = a.shape
+    return b"P6 %d %d 255\n" % (w, h) + a.tobytes()
+
+
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB: deterministic byte-histogram features instead of a real decode.
 
@@ -65,6 +133,22 @@ _FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def _image_features(payload: bytes) -> np.ndarray:
+    """Real path first: decode netpbm → normalized N_FEATURES-bin
+    luminance histogram (integer-BT.601 weights, exact across platforms);
+    undecodable payloads fall back to the labeled byte-histogram stub."""
+    pix = decode_image(payload)
+    if pix is None:
+        return _decode_image_stub(payload)
+    if pix.ndim == 3:  # (77R + 150G + 29B) >> 8: integer luma, no fp drift
+        p = pix.astype(np.int32)
+        luma = (77 * p[:, :, 0] + 150 * p[:, :, 1] + 29 * p[:, :, 2]) >> 8
+    else:
+        luma = pix
+    hist, _ = np.histogram(luma, bins=N_FEATURES, range=(0, 256))
+    return (hist / luma.size).astype(np.float32)
+
+
 def extract_features(media: DataFrame, skip_errors: bool = True) -> DataFrame:
     """(media_id, kind, n_bytes, features) via mapInPandas over Arrow batches."""
 
@@ -74,7 +158,7 @@ def extract_features(media: DataFrame, skip_errors: bool = True) -> DataFrame:
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
                 try:
-                    feats = _decode_image_stub(
+                    feats = _image_features(
                         bytes(payload) if payload is not None else None)
                 except ValueError:
                     if skip_errors:
@@ -98,13 +182,26 @@ _RESIZE_SCHEMA = T.StructType([
 ])
 
 
+def _resize_pixels(pix: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width): each target cell takes
+    the source pixel at floor(i*src/dst) — the standard NN convention."""
+    h, w = pix.shape[:2]
+    ri = (np.arange(height) * h) // height
+    ci = (np.arange(width) * w) // width
+    return pix[ri][:, ci]
+
+
 def resize_images(media: DataFrame, width: int = 64,
                   height: int = 64) -> DataFrame:
-    """Image resize over mapInPandas Arrow batches.
+    """Image resize over mapInPandas Arrow batches → valid binary-PPM
+    (``P6``) output bytes for every row.
 
-    STUB decode (no PIL in this environment): the 'resized image' is the
-    payload deterministically resampled to width*height bytes by striding
-    (real code: PIL decode → resize → re-encode; the Spark plumbing —
+    Netpbm payloads take the REAL path: decode → nearest-neighbor
+    resample → re-encode (value-checked in test_dataops). Compressed
+    formats fall back to the labeled stub — the payload bytes are
+    deterministically strided to a width×height grayscale fake and then
+    P6-encoded, so downstream consumers see one uniform format (real
+    code swaps the stub branch for PIL decode; the Spark plumbing —
     schema, batch shape, partitioning — is identical either way)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,13 +211,17 @@ def resize_images(media: DataFrame, width: int = 64,
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                if arr.size == 0:
-                    out = np.zeros(target, dtype=np.uint8)
-                else:
-                    idx = (np.arange(target) * arr.size) // target
-                    out = arr[idx]
-                rows.append((int(mid), width, height, out.tobytes()))
+                pix = decode_image(bytes(payload))
+                if pix is not None:
+                    out = _resize_pixels(pix, width, height)
+                else:  # stub: stride the raw bytes to a grayscale fake
+                    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    if arr.size == 0:
+                        out = np.zeros((height, width), dtype=np.uint8)
+                    else:
+                        idx = (np.arange(target) * arr.size) // target
+                        out = arr[idx].reshape(height, width)
+                rows.append((int(mid), width, height, encode_ppm(out)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "payload"])
 

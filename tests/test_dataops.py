@@ -262,6 +262,63 @@ def test_pairwise_cosine_bucket_guard(spark, vectors):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 10)}
 
 
+def test_image_decode_real_netpbm():
+    """REAL decode path (no codec lib needed): exact pixels out of binary
+    PPM/PGM, comment + multi-whitespace headers, malformed/truncated →
+    None (stub fallback), and a canonical encode→decode round trip."""
+    # P6: 2x2 with distinct per-channel values, hand-laid raster
+    raster = bytes([255, 0, 0,  0, 255, 0,
+                    0, 0, 255,  10, 20, 30])
+    pix = multimodal.decode_image(b"P6 2 2 255\n" + raster)
+    assert pix.shape == (2, 2, 3)
+    assert pix[0, 0].tolist() == [255, 0, 0]
+    assert pix[1, 1].tolist() == [10, 20, 30]
+    # header variants: comment line, newline-separated tokens
+    assert multimodal.decode_image(
+        b"P6\n# made by a camera\n2 2\n255\n" + raster)[1, 0].tolist() \
+        == [0, 0, 255]
+    # P5 grayscale
+    g = multimodal.decode_image(b"P5 3 1 255\n" + bytes([7, 8, 9]))
+    assert g.shape == (1, 3) and g.tolist() == [[7, 8, 9]]
+    # rejects: wrong magic, truncated raster, bad maxval, junk header
+    assert multimodal.decode_image(b"\x89PNG\r\n\x1a\n....") is None
+    assert multimodal.decode_image(b"P6 2 2 255\n" + raster[:-1]) is None
+    assert multimodal.decode_image(b"P6 2 2 65535\n" + raster) is None
+    assert multimodal.decode_image(b"P6 x 2 255\n" + raster) is None
+    assert multimodal.decode_image(None) is None
+    # canonical round trip is byte-stable
+    canon = multimodal.encode_ppm(pix)
+    assert canon == b"P6 2 2 255\n" + raster
+    assert (multimodal.decode_image(canon) == pix).all()
+
+
+def test_image_resize_real_path(spark):
+    """Nearest-neighbor resize on a REAL decoded image: 4x4 quadrant image
+    → 2x2 picks each quadrant's top-left source pixel (floor(i*4/2))."""
+    q = np.zeros((4, 4, 3), dtype=np.uint8)
+    q[:2, :2] = [255, 0, 0]; q[:2, 2:] = [0, 255, 0]
+    q[2:, :2] = [0, 0, 255]; q[2:, 2:] = [200, 200, 200]
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(multimodal.encode_ppm(q)),
+          (4, 4, None, "ppm"))], multimodal.MEDIA_SCHEMA)
+    [row] = multimodal.resize_images(media, width=2, height=2).collect()
+    out = multimodal.decode_image(bytes(row["payload"]))
+    assert out.tolist() == [[[255, 0, 0], [0, 255, 0]],
+                            [[0, 0, 255], [200, 200, 200]]]
+    # features on a decodable payload use REAL pixel luminance: a uniform
+    # mid-gray image is a one-hot histogram at gray's bin, which the
+    # byte-histogram stub could never produce from these payload bytes
+    # (the header bytes alone hit other bins).
+    gray = np.full((5, 5, 3), 128, dtype=np.uint8)
+    gm = spark.createDataFrame(
+        [(2, "image", bytearray(multimodal.encode_ppm(gray)),
+          (5, 5, None, "ppm"))], multimodal.MEDIA_SCHEMA)
+    [feat] = multimodal.extract_features(gm).collect()
+    v = np.array(feat["features"])
+    bin_of_gray = (128 * 256 // 256) * multimodal.N_FEATURES // 256
+    assert v[bin_of_gray] == 1.0 and v.sum() == 1.0
+
+
 def test_multimodal_feature_plumbing(spark):
     media = multimodal.synth_media(spark, 30)
     feats = multimodal.extract_features(
@@ -279,7 +336,9 @@ def test_multimodal_feature_plumbing(spark):
     assert len(resized) == 10  # a third are images
     for r in resized:
         assert (r["width"], r["height"]) == (8, 4)
-        assert len(bytes(r["payload"])) == 32
+        # uniform output contract: every row is valid binary PPM
+        pix = multimodal.decode_image(bytes(r["payload"]))
+        assert pix is not None and pix.shape == (4, 8, 3)
     # deterministic: same input → same bytes
     again = multimodal.resize_images(media, width=8, height=4).collect()
     assert ({r["media_id"]: bytes(r["payload"]) for r in resized}
