@@ -317,12 +317,21 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 2048)))
-        meta = {
-            "width": rng.randint(16, 1920) if kind == "image" else None,
-            "height": rng.randint(16, 1080) if kind == "image" else None,
-            "duration_ms": rng.randint(500, 10000) if kind != "image" else None,
-            "codec": {"image": "png", "audio": "opus", "video": "h264"}[kind],
-        }
+        if kind == "image":
+            # real decodable payload: random-pixel binary PPM, so the
+            # feature/resize paths exercise the REAL netpbm decode
+            w, h = rng.randint(4, 16), rng.randint(4, 16)
+            pix = np.frombuffer(
+                bytes(rng.getrandbits(8) for _ in range(w * h * 3)),
+                dtype=np.uint8).reshape(h, w, 3)
+            payload = encode_ppm(pix)
+            meta = {"width": w, "height": h, "duration_ms": None,
+                    "codec": "ppm"}
+        else:
+            payload = bytes(rng.getrandbits(8)
+                            for _ in range(rng.randint(64, 2048)))
+            meta = {"width": None, "height": None,
+                    "duration_ms": rng.randint(500, 10000),
+                    "codec": {"audio": "opus", "video": "h264"}[kind]}
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
