@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: streaming ingestion of page files into the
+queryable block index (cold-start bootstrap + exactly-once appends).
+
+Usage:
+    spark-submit --py-files dist/search_engine_tr_spark.zip \
+        jobs/ingest_stream_job.py <pages_dir> <index_dir> <checkpoint_dir> \
+        [--shards 32] [--term-buckets 64]
+
+Run it on a cadence (cron / workflow scheduler): each run drains the new
+page files with trigger(availableNow), folds them into the index, and
+refreshes the derived tables once. The stream checkpoint makes file
+delivery exactly-once across runs and crashes; the url anti-join inside
+makes replayed batches no-ops. Pair with jobs/compact_job.py to fold the
+appended small files back to target-size parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("pages_dir")
+    ap.add_argument("index_dir")
+    ap.add_argument("checkpoint_dir")
+    ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument("--term-buckets", type=int, default=64)
+    args = ap.parse_args()
+
+    from search_engine_tr_spark.session import get_spark
+    from search_engine_tr_spark.streaming.incremental import \
+        stream_ingest_index
+
+    spark = get_spark(app="ingest-stream")
+    stats = stream_ingest_index(spark, args.pages_dir, args.index_dir,
+                                args.checkpoint_dir, n_shards=args.shards,
+                                term_buckets=args.term_buckets)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

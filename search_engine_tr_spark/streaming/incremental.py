@@ -99,6 +99,58 @@ def rebuild_derived(spark: SparkSession, index_dir: str,
     return {"n_docs": stats.n_docs, "total_postings": stats.total_postings}
 
 
+def stream_ingest_index(spark: SparkSession, pages_dir: str, index_dir: str,
+                        checkpoint_dir: str, n_shards: int = 8,
+                        term_buckets: int = 16, pages_schema=None) -> dict:
+    """Streaming ingestion into the QUERYABLE index: watch ``pages_dir``
+    for new parquet files and fold each micro-batch into the block index.
+
+    Composition of the two exactly-once layers this module already has:
+    the file-source checkpoint guarantees each page FILE enters exactly
+    one micro-batch (across restarts), and ``incremental_index_update``'s
+    url anti-join makes a replayed batch a no-op — so a crash between
+    "batch delivered" and "checkpoint committed" cannot double-index.
+    Cold start bootstraps a full ``build_index`` from the first batch;
+    warm batches append. Derived tables (term_stats/blocks/meta) are
+    rebuilt ONCE after the availableNow drain rather than per batch —
+    at 100 TB the tokenize/append work is the data-proportional part and
+    runs per batch, while the derived rebuild reads only the compact
+    postings table.
+
+    Blocking (availableNow): returns {"new_docs": total appended this
+    drain, ...} after the drain and one derived refresh.
+    """
+    if pages_schema is None:
+        from ..sources.synth import pages_schema as ps
+        pages_schema = ps()
+    paths = IndexPaths(index_dir)
+    totals = {"new_docs": 0, "new_postings": 0}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not os.path.exists(paths.meta):
+            from ..plans.index_build import build_index
+            m = build_index(spark, batch_df, index_dir, n_shards=n_shards,
+                            term_buckets=term_buckets)
+            totals["new_docs"] += int(m.get("n_docs", 0))
+            totals["new_postings"] += int(m.get("total_postings", 0))
+        else:
+            m = incremental_index_update(spark, batch_df, index_dir,
+                                         refresh_derived=False)
+            totals["new_docs"] += int(m.get("new_docs", 0))
+            totals["new_postings"] += int(m.get("new_postings", 0))
+
+    q = (spark.readStream.schema(pages_schema).parquet(pages_dir)
+         .writeStream
+         .foreachBatch(process_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    if totals["new_docs"] and os.path.exists(paths.meta):
+        totals.update(rebuild_derived(spark, index_dir))
+    return totals
+
+
 def stream_pages_to_postings(spark: SparkSession, pages_dir: str,
                              out_dir: str, checkpoint_dir: str,
                              pages_schema=None):
