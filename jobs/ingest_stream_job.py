@@ -9,10 +9,15 @@ Usage:
 
 Run it on a cadence (cron / workflow scheduler): each run drains the new
 page files with trigger(availableNow), folds them into the index, and
-refreshes the derived tables once. The stream checkpoint makes file
-delivery exactly-once across runs and crashes; the url anti-join inside
-makes replayed batches no-ops. Pair with jobs/compact_job.py to fold the
-appended small files back to target-size parquet.
+refreshes the derived tables when the staleness check (doc_map count vs
+meta.json) says they lag — so a crash after a committed batch heals on
+the next run. The stream checkpoint makes file delivery exactly-once
+across runs and crashes; the url anti-join inside makes replayed batches
+no-ops. Pair with jobs/compact_job.py to fold the appended small files
+back to target-size parquet.
+
+index_dir must be driver-reachable via local open() for meta.json (the
+repo-wide meta constraint — see stream_ingest_index's docstring).
 """
 
 from __future__ import annotations

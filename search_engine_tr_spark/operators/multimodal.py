@@ -50,6 +50,10 @@ def _parse_pnm_header(payload: bytes):
     Only 8-bit depth (maxval <= 255) is supported."""
     if len(payload) < 7 or payload[:2] not in (b"P5", b"P6"):
         return None
+    # the magic must be followed by whitespace or a comment — 'P62 2 ...'
+    # is not a legal header and must fall back to the stub, not decode
+    if not (payload[2:3].isspace() or payload[2:3] == b"#"):
+        return None
     magic = payload[:2].decode()
     pos, tokens = 2, []
     while len(tokens) < 3:
@@ -74,7 +78,7 @@ def _parse_pnm_header(payload: bytes):
     w, h, maxval = tokens
     if w <= 0 or h <= 0 or not (0 < maxval <= 255):
         return None
-    return magic, w, h, pos
+    return magic, w, h, maxval, pos
 
 
 def decode_image(payload: bytes):
@@ -88,13 +92,16 @@ def decode_image(payload: bytes):
     hdr = _parse_pnm_header(bytes(payload))
     if hdr is None:
         return None
-    magic, w, h, off = hdr
+    magic, w, h, maxval, off = hdr
     channels = 3 if magic == "P6" else 1
     need = w * h * channels
     raster = np.frombuffer(payload, dtype=np.uint8, count=-1, offset=off)
     if raster.size < need:
         return None
     raster = raster[:need]
+    if maxval != 255:  # netpbm samples are relative to maxval: rescale
+        raster = ((raster.astype(np.uint16) * 255 + maxval // 2)
+                  // maxval).clip(0, 255).astype(np.uint8)
     return (raster.reshape(h, w, 3) if channels == 3
             else raster.reshape(h, w))
 

@@ -266,20 +266,22 @@ def _skew_ratio(df: DataFrame, key: str) -> float:
 
 
 def materialize_doc_meta(pages: DataFrame, doc_map: DataFrame,
-                         out_path: str) -> None:
+                         out_path: str, mode: str = "overwrite") -> None:
     """(doc_id, url, title, description, keywords) — the result-page
     metadata the reference attaches to every hit (src/modules/pagerank.py:
-    119-126, document_search_client_CLI.py:57-61)."""
+    119-126, document_search_client_CLI.py:57-61). ``mode='append'`` is
+    the incremental-ingest form (new docs only)."""
     (pages.select("url", extract_meta_udf(F.col("html")).alias("m"))
      .join(doc_map, "url")
      .select("doc_id", "url",
              F.col("m.title").alias("title"),
              F.col("m.description").alias("description"),
              F.col("m.keywords").alias("keywords"))
-     .write.mode("overwrite").parquet(out_path))
+     .write.mode(mode).parquet(out_path))
 
 
-def materialize_links(pages: DataFrame, out_path: str) -> None:
+def materialize_links(pages: DataFrame, out_path: str,
+                      mode: str = "overwrite") -> None:
     """(source_url, link_type, target_url, anchor_text) — the backlinks
     table the reference's crawler persists and backlink_analyser.py:29-62
     consumes. One explode over the Arrow-batched link extractor; map-only."""
@@ -290,7 +292,7 @@ def materialize_links(pages: DataFrame, out_path: str) -> None:
              F.col("l.type").alias("link_type"),
              F.col("l.href").alias("target_url"),
              F.col("l.anchor_text").alias("anchor_text"))
-     .write.mode("overwrite").parquet(out_path))
+     .write.mode(mode).parquet(out_path))
 
 
 def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,

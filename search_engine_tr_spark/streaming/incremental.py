@@ -35,7 +35,11 @@ def incremental_index_update(spark: SparkSession, new_pages: DataFrame,
     Appends doc_map + flat postings; with ``refresh_derived=True`` also
     rebuilds term_stats/blocks/meta so the BM25 query path sees the new
     docs (the derived rebuild reads only the compact postings table, not
-    the raw pages — the expensive tokenization never re-runs).
+    the raw pages — the expensive tokenization never re-runs). If the
+    index carries the companion tables (pages_text / doc_meta / links —
+    any build_index with defaults), the fresh docs' rows are appended to
+    them too, so snippets, result metadata and backlink authority keep
+    covering stream-ingested documents, not just the original corpus.
     """
     paths = IndexPaths(index_dir)
     doc_map = spark.read.parquet(paths.doc_map)
@@ -56,6 +60,17 @@ def incremental_index_update(spark: SparkSession, new_pages: DataFrame,
                .withColumn("doc_id", F.col("doc_id") + F.lit(base + 1))
                .localCheckpoint())
     new_ids.write.mode("append").parquet(paths.doc_map)
+    if os.path.isdir(paths.pages_text):
+        from ..functions.text import extract_text_udf
+        (fresh.select("url", extract_text_udf(F.col("html")).alias("text"),
+                      "lang")
+         .write.mode("append").parquet(paths.pages_text))
+    if os.path.isdir(paths.doc_meta):
+        from ..plans.index_build import materialize_doc_meta
+        materialize_doc_meta(fresh, new_ids, paths.doc_meta, mode="append")
+    if os.path.isdir(paths.links):
+        from ..plans.index_build import materialize_links
+        materialize_links(fresh, paths.links, mode="append")
     occ = occurrences_from_pages(fresh)
     postings = postings_from_occurrences(occ, new_ids).localCheckpoint()
     n_postings = postings.count()
@@ -111,14 +126,24 @@ def stream_ingest_index(spark: SparkSession, pages_dir: str, index_dir: str,
     url anti-join makes a replayed batch a no-op — so a crash between
     "batch delivered" and "checkpoint committed" cannot double-index.
     Cold start bootstraps a full ``build_index`` from the first batch;
-    warm batches append. Derived tables (term_stats/blocks/meta) are
-    rebuilt ONCE after the availableNow drain rather than per batch —
-    at 100 TB the tokenize/append work is the data-proportional part and
+    warm batches append (postings + the companion pages_text/doc_meta/
+    links rows). Derived tables (term_stats/blocks/meta) are rebuilt at
+    most ONCE after the availableNow drain rather than per batch — at
+    100 TB the tokenize/append work is the data-proportional part and
     runs per batch, while the derived rebuild reads only the compact
-    postings table.
+    postings table. The rebuild triggers on a STALENESS CHECK
+    (doc_map count vs meta.json's n_docs), not on this drain's append
+    counter: a crash between a committed micro-batch and the rebuild
+    leaves the derived tables stale, and the next drain — even an empty
+    one — detects the mismatch and heals it.
+
+    ``index_dir`` must be reachable by the driver's local ``open()`` for
+    meta.json — the same constraint as build_index/rebuild_derived (for
+    an object-store index root, port the meta handling to the Hadoop FS
+    API first; the bootstrap probe below shares that assumption).
 
     Blocking (availableNow): returns {"new_docs": total appended this
-    drain, ...} after the drain and one derived refresh.
+    drain, ...} after the drain and any needed derived refresh.
     """
     if pages_schema is None:
         from ..sources.synth import pages_schema as ps
@@ -146,8 +171,12 @@ def stream_ingest_index(spark: SparkSession, pages_dir: str, index_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    if totals["new_docs"] and os.path.exists(paths.meta):
-        totals.update(rebuild_derived(spark, index_dir))
+    if os.path.exists(paths.meta):
+        import json
+        with open(paths.meta) as f:
+            indexed = int(json.load(f).get("n_docs", -1))
+        if spark.read.parquet(paths.doc_map).count() != indexed:
+            totals.update(rebuild_derived(spark, index_dir))
     return totals
 
 

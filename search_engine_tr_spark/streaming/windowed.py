@@ -121,7 +121,20 @@ def dedup_stream(events: DataFrame, keys: list[str],
             .dropDuplicatesWithinWatermark(keys))
 
 
-def dedup_batch(events: DataFrame, keys: list[str]) -> DataFrame:
-    """Batch twin: global first-per-key dedup (the oracle for any input
-    whose duplicates all arrive within the stream's watermark horizon)."""
-    return events.dropDuplicates(keys)
+def dedup_batch(events: DataFrame, keys: list[str],
+                ts_col: str = "ts") -> DataFrame:
+    """Batch twin: earliest-event-time row per key (total order: ts, then
+    the remaining columns — a bare ``dropDuplicates`` keeps an ARBITRARY
+    row, which would make the twin plan-dependent and useless as an
+    oracle). Matches the stream's output row-for-row when duplicates
+    arrive in event-time order; for out-of-order feeds the stream keeps
+    the first-ARRIVED row instead, so compare on key sets there."""
+    from pyspark.sql import Window
+
+    order = [ts_col] + [c for c in events.columns
+                        if c not in keys and c != ts_col]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (events
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn"))

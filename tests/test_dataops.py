@@ -280,12 +280,20 @@ def test_image_decode_real_netpbm():
     # P5 grayscale
     g = multimodal.decode_image(b"P5 3 1 255\n" + bytes([7, 8, 9]))
     assert g.shape == (1, 3) and g.tolist() == [[7, 8, 9]]
-    # rejects: wrong magic, truncated raster, bad maxval, junk header
+    # rejects: wrong magic, truncated raster, bad maxval, junk header,
+    # and a digit glued to the magic (P62... is not P6 + whitespace)
     assert multimodal.decode_image(b"\x89PNG\r\n\x1a\n....") is None
     assert multimodal.decode_image(b"P6 2 2 255\n" + raster[:-1]) is None
     assert multimodal.decode_image(b"P6 2 2 65535\n" + raster) is None
     assert multimodal.decode_image(b"P6 x 2 255\n" + raster) is None
+    assert multimodal.decode_image(b"P62 2 255\n" + raster) is None
     assert multimodal.decode_image(None) is None
+    # maxval < 255: samples are relative to maxval (netpbm spec) — a
+    # maxval=1 all-ones P6 is pure WHITE, not near-black
+    white = multimodal.decode_image(b"P6 2 2 1\n" + bytes([1] * 12))
+    assert white.min() == white.max() == 255
+    half = multimodal.decode_image(b"P5 1 1 200\n" + bytes([100]))
+    assert half[0, 0] == 128  # round(100 * 255/200)
     # canonical round trip is byte-stable
     canon = multimodal.encode_ppm(pix)
     assert canon == b"P6 2 2 255\n" + raster

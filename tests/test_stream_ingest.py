@@ -69,3 +69,59 @@ def test_stream_ingest_end_to_end(spark, tmp_path):
     assert s4["new_docs"] == 0
     assert _results(spark, ix, QUERIES) == want
     assert os.path.isdir(ck)
+
+    # companion tables cover stream-ingested docs too (not just the
+    # bootstrap corpus): snippets/meta/backlinks read these
+    for table in ("pages_text", "doc_meta"):
+        assert spark.read.parquet(os.path.join(ix, table)) \
+            .select("url").distinct().count() == 60
+    # links: a page with no anchors has no rows, so compare against the
+    # from-scratch build's links table instead of all wave-2 urls
+    def _link_rows(d):
+        return {tuple(r) for r in spark.read.parquet(
+            os.path.join(d, "links")).collect()}
+    assert _link_rows(ix) == _link_rows(fresh_ix)
+    wave2_urls = {p["url"] for p in pages[40:60]}
+    assert wave2_urls & {s for (s, *_) in _link_rows(ix)}  # non-vacuous
+
+
+def test_stream_ingest_heals_stale_derived(spark, tmp_path):
+    """Crash window: a micro-batch commits (doc_map/postings appended) but
+    the process dies before the derived rebuild. The NEXT drain — even one
+    with no new files — must detect doc_map ≠ meta.n_docs and heal, or the
+    appended docs would stay invisible to BM25 forever."""
+    from search_engine_tr_spark.streaming.incremental import \
+        incremental_index_update
+
+    pages = gen_pages(70, seed=11)
+    src = str(tmp_path / "pages")
+    ix = str(tmp_path / "ix")
+    ck = str(tmp_path / "ck")
+
+    _write_wave(spark, pages[:60], src)
+    stream_ingest_index(spark, src, ix, ck, n_shards=4, term_buckets=8)
+
+    # simulate the crash: append directly (committed batch) w/o rebuild
+    seen = {p["url"] for p in pages[:60]}
+    extra = [p for p in pages[60:] if p["url"] not in seen]
+    assert extra
+    m = incremental_index_update(
+        spark, spark.createDataFrame(extra, schema=pages_schema()), ix)
+    assert m["new_docs"] > 0
+
+    # empty drain heals: staleness check fires, derived tables catch up
+    healed = stream_ingest_index(spark, src, ix, ck,
+                                 n_shards=4, term_buckets=8)
+    assert healed["new_docs"] == 0
+    assert healed["n_docs"] == 60 + m["new_docs"]
+    # and the late docs are actually searchable now
+    all_urls = {u for q in QUERIES
+                for (u, _) in _results(spark, ix, [q])[q]}
+    fresh_ix = str(tmp_path / "fresh")
+    build_index(spark,
+                spark.createDataFrame(pages[:60] + extra,
+                                      schema=pages_schema()),
+                fresh_ix, n_shards=4, term_buckets=8)
+    fresh_urls = {u for q in QUERIES
+                  for (u, _) in _results(spark, fresh_ix, [q])[q]}
+    assert all_urls == fresh_urls

@@ -135,9 +135,15 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     _drain_dedup(spark, src, ckpt, out)
     assert sorted(r["key"] for r in out) == ["k1", "k1", "k2", "k3"]
 
-    # batch twin: on a within-horizon input, stream keys == batch keys.
-    twin = dedup_batch(_events(spark, b1), ["key"]).collect()
-    assert {r["key"] for r in twin} == {"k1", "k2"}
+    # batch twin: deterministic earliest-ts-per-key — exact rows, not an
+    # arbitrary dropDuplicates pick. The stream's survivor is
+    # first-ARRIVED (shuffle-order-dependent within a batch), so compare
+    # it on (key, value) — identical across picks here by construction.
+    twin = {(r["key"], r["ts"].timestamp(), r["value"])
+            for r in dedup_batch(_events(spark, b1), ["key"]).collect()}
+    assert twin == {("k1", 10.0, 1.0), ("k2", 15.0, 2.0)}
+    assert {(r["key"], r["value"]) for r in out[:2]} \
+        == {("k1", 1.0), ("k2", 2.0)}
 
 
 from hypothesis import given, settings
