@@ -46,3 +46,46 @@ def test_fresh_corpus_parity(spark, tmp_path, seed):
         e = [(r["doc_id"], round(r["score"], 10))
              for r in idx.search(q, k=10, mode="exhaustive").collect()]
         assert w == e, (seed, q)
+
+
+@pytest.mark.parametrize("seed,cut", [(13, 10), (29, 25), (47, 39)])
+def test_stream_ingest_split_invariance(spark, tmp_path, seed, cut):
+    """Ingest invariant under arbitrary wave splits: streaming a corpus in
+    as (bootstrap wave, append wave) — any cut point — must yield the same
+    BM25 results as one from-scratch build. Catches order-dependent doc-id
+    or corpus-stat bugs the fixed-split test can't."""
+    from search_engine_tr_spark.operators.query_bm25 import BM25Index
+    from search_engine_tr_spark.plans.index_build import build_index
+    from search_engine_tr_spark.sources.synth import (gen_pages,
+                                                      pages_schema,
+                                                      reference_queries)
+    from search_engine_tr_spark.streaming.incremental import \
+        stream_ingest_index
+
+    pages = gen_pages(50, seed=seed)
+    src = str(tmp_path / "src")
+    ix, ck = str(tmp_path / "ix"), str(tmp_path / "ck")
+
+    def _wave(rows):
+        spark.createDataFrame(rows, schema=pages_schema()) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    _wave(pages[:cut])
+    stream_ingest_index(spark, src, ix, ck, n_shards=4, term_buckets=8)
+    _wave(pages[cut:])
+    stream_ingest_index(spark, src, ix, ck, n_shards=4, term_buckets=8)
+
+    fresh = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(pages, schema=pages_schema()),
+                fresh, n_shards=4, term_buckets=8, collect_metrics=False)
+
+    got_idx, want_idx = BM25Index(spark, ix), BM25Index(spark, fresh)
+    checked = 0
+    for q in reference_queries()[:8]:
+        got = {(r["url"], round(r["score"], 6))
+               for r in got_idx.search_with_urls(q, k=50).collect()}
+        want = {(r["url"], round(r["score"], 6))
+                for r in want_idx.search_with_urls(q, k=50).collect()}
+        assert got == want
+        checked += len(want)
+    assert checked > 0  # non-vacuous: at least one query matched docs
