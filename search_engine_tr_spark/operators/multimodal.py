@@ -238,6 +238,32 @@ def resize_images(media: DataFrame, width: int = 64,
 
 
 @F.pandas_udf(T.BinaryType())
+def ppm_pack_udf(rgb: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    """flat row-major array<int> RGB samples (+ width, height) → binary
+    PPM (``P6``) bytes via the real ``encode_ppm`` encoder (Arrow-batched).
+
+    The encode twin of ``decode_image``: lets a DataFrame column of
+    integer pixel data enter the real netpbm decode path, so the binary
+    round-trip is value-checkable end-to-end (driver gate image_features,
+    same pattern as pcm16_pack_udf/audio_rms). Values must be 0..255 and
+    the array length exactly width*height*3; anything else raises like a
+    real encoder."""
+    out = []
+    for arr, w, h in zip(rgb, width, height):
+        if arr is None:
+            out.append(None)
+            continue
+        w, h = int(w), int(h)
+        a = np.asarray(arr, dtype=np.int64)
+        if a.size != w * h * 3:
+            raise ValueError(f"expected {w * h * 3} samples, got {a.size}")
+        if a.size and (a.min() < 0 or a.max() > 255):
+            raise ValueError("sample out of uint8 range")
+        out.append(encode_ppm(a.astype(np.uint8).reshape(h, w, 3)))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
 def pcm16_pack_udf(samples: pd.Series) -> pd.Series:
     """array<int> → little-endian 16-bit PCM bytes (Arrow-batched).
 

@@ -64,8 +64,12 @@ def _attribution_cols():
         F.col("l.key").alias("key"),
         F.col("l.cause_ts").alias("cause_ts"),
         F.col("r.effect_ts").alias("effect_ts"),
-        (F.unix_timestamp("r.effect_ts")
-         - F.unix_timestamp("l.cause_ts")).alias("delay_sec"),
+        # timestampdiff, not unix_timestamp subtraction: unix_timestamp
+        # interprets TIMESTAMP_NTZ through the session timezone, so a
+        # DST-crossing cause→effect pair would drift by the offset change
+        # under a non-UTC session; timestampdiff stays wall-clock-pure
+        F.expr("timestampdiff(SECOND, l.cause_ts, r.effect_ts)")
+        .alias("delay_sec"),
     ]
 
 
