@@ -12,12 +12,14 @@ page files with trigger(availableNow), folds them into the index, and
 refreshes the derived tables when the staleness check (doc_map count vs
 meta.json) says they lag — so a crash after a committed batch heals on
 the next run. The stream checkpoint makes file delivery exactly-once
-across runs and crashes; the url anti-join inside makes replayed batches
-no-ops. Pair with jobs/compact_job.py to fold the appended small files
-back to target-size parquet.
+across runs and crashes; the doc_map anti-join + intent-marker rollback
+inside make replayed batches exact no-ops (doc_map is appended LAST as
+the batch's commit record — see incremental_index_update). Pair with
+jobs/compact_job.py to fold the appended small files back to target-size
+parquet.
 
-index_dir must be driver-reachable via local open() for meta.json (the
-repo-wide meta constraint — see stream_ingest_index's docstring).
+Sidecar files (meta.json, the ingest-intent marker) go through
+plans.fsio, so index_dir may be any Hadoop-supported filesystem.
 """
 
 from __future__ import annotations

@@ -40,6 +40,16 @@ def main() -> None:
                     help="result-cache table dir (read-through + repair)")
     args = ap.parse_args()
 
+    # one retrieval MODE per invocation: the old elif chain silently ran
+    # cache/blended when combined with --phrase/--snippets, returning a
+    # different mode than asked for (ADVICE r4)
+    modes = [name for name, on in [("--cache", args.cache),
+                                   ("--blended", args.blended),
+                                   ("--phrase", args.phrase),
+                                   ("--snippets", args.snippets)] if on]
+    if len(modes) > 1:
+        ap.error(f"mutually exclusive retrieval modes: {' '.join(modes)}")
+
     from pyspark.sql import SparkSession
 
     from search_engine_tr_spark.operators.query_bm25 import BM25Index

@@ -203,21 +203,19 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 64,
                        shingle_k: int = 3,
                        hash_kernel: str = "xxh64") -> DataFrame:
     """(id, sig: array<long>) — sig[i] = min over shingles of
-    hash(shingle, seed=i). One explode + one groupBy; the K mins are
-    computed as one array aggregate (no K passes)."""
+    hash(shingle, seed=i). One explode + one groupBy with K independent
+    ``F.min`` aggregate expressions (true partial aggregation: map-side
+    combine, CONSTANT per-doc state of K longs). The r3 shape —
+    ``F.aggregate(F.collect_list(hs), …)`` — buffered every shingle's
+    K-wide hash array per doc before folding (O(shingles × K) memory in
+    one aggregation buffer, ~5 MB for a 10k-shingle doc at K=64), which
+    is exactly the long-document blowup a 100 TB corpus hits."""
     sh = _shingles(df, id_col, text_col, shingle_k)
-    hashed = sh.select(
-        "id",
-        F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                    lambda i: _hash64(F.col("shingle"), i, hash_kernel)
-                    ).alias("hs"))
-    zero = F.array([F.lit(None).cast("long")] * num_hashes)
-    merged = hashed.groupBy("id").agg(
-        F.aggregate(
-            F.collect_list("hs"), zero,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b))
-        ).alias("sig"))
-    return merged
+    return (sh.groupBy("id")
+            .agg(*[F.min(_hash64(F.col("shingle"), i, hash_kernel))
+                   .alias(f"_m{i}") for i in range(num_hashes)])
+            .select("id", F.array(*[F.col(f"_m{i}")
+                                    for i in range(num_hashes)]).alias("sig")))
 
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
@@ -314,22 +312,19 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     hashed = toks.select(
         "id", _hash64(F.col("token"), kernel=hash_kernel).alias("_h"))
     h = F.col("_h")
-    bits = hashed.select(
-        "id",
-        F.array(*[
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-             .otherwise(F.lit(-1)) for j in range(n_bits)
-        ]).alias("v"))
-    zero = F.array([F.lit(0)] * n_bits)
-    summed = bits.groupBy("id").agg(
-        F.aggregate(F.collect_list("v"), zero,
-                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
-                    ).alias("sums"))
+    # n_bits independent F.sum aggregates — true partial aggregation with
+    # constant per-doc state (n_bits longs), replacing the r3
+    # collect_list-of-arrays fold whose buffer grew O(tokens × n_bits)
+    summed = hashed.groupBy("id").agg(*[
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+               .otherwise(F.lit(-1))).alias(f"_s{j}")
+        for j in range(n_bits)
+    ])
     bit_terms = []
     for j in range(n_bits):
         val = (1 << j) if j < 63 else -(1 << 63)  # sign bit as signed long
         bit_terms.append(
-            F.when(F.element_at("sums", j + 1) > 0, F.lit(val).cast("long"))
+            F.when(F.col(f"_s{j}") > 0, F.lit(val).cast("long"))
              .otherwise(F.lit(0).cast("long")))
     acc = bit_terms[0]
     for t in bit_terms[1:]:

@@ -99,7 +99,13 @@ def phrase_search(spark, index_dir: str, raw_phrase: str,
         return spark.createDataFrame([], doc_map_schema)
     postings = spark.read.parquet(paths.postings)
     hits = phrase_match(postings, terms)
-    top = (hits.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k))
-    doc_map = spark.read.parquet(paths.doc_map)
+    top = (hits.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k)
+           .localCheckpoint(eager=True))  # k rows; avoids recompute
+    # push the k doc_ids down into the doc_map scan and broadcast only the
+    # k matching rows — broadcasting the corpus-sized doc_map (the r3 code)
+    # is the exact anti-pattern snippets.py avoids and OOMs on a real index
+    ids = [r["doc_id"] for r in top.select("doc_id").collect()]
+    doc_map = (spark.read.parquet(paths.doc_map)
+               .filter(F.col("doc_id").isin(ids)))
     return (top.join(F.broadcast(doc_map), "doc_id", "left")
             .orderBy(F.desc("n_matches"), F.asc("doc_id")))

@@ -51,8 +51,8 @@ class BM25Index:
         """
         self.spark = spark
         self.paths = IndexPaths(index_dir)
-        with open(self.paths.meta) as f:
-            self.meta = json.load(f)
+        from ..plans import fsio
+        self.meta = fsio.read_json(spark, self.paths.meta)
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
         self.term_buckets = int(self.meta.get("term_buckets", 64))
@@ -65,7 +65,23 @@ class BM25Index:
             self._tstats = None
         else:
             raise ValueError(f"unknown tstats_mode {tstats_mode!r}")
-        self._blocks = spark.read.parquet(self.paths.blocks)
+        blocks = spark.read.parquet(self.paths.blocks)
+        if "avgdl0" in blocks.columns:
+            # blocks appended incrementally (refresh_derived_delta) were
+            # packed under the avgdl of THEIR refresh; the corpus avgdl has
+            # moved since. tfnorm(avgdl_b)/tfnorm(avgdl_a) ≤ avgdl_b/avgdl_a
+            # for avgdl_b ≥ avgdl_a (the dl term dominates the ratio), so
+            # scaling the stored bound by max(1, avgdl_now/avgdl0) restores
+            # a VALID block-max upper bound — WAND stays exact, merely a
+            # little looser on stale blocks. Same-generation blocks scale
+            # by exactly 1.0 (bit-identical behavior).
+            blocks = blocks.withColumn(
+                "max_tfnorm",
+                F.col("max_tfnorm")
+                * F.greatest(F.lit(1.0),
+                             F.lit(float(self.meta["avgdl"]))
+                             / F.col("avgdl0")))
+        self._blocks = blocks
         self._doc_map = None
         self._doc_meta = None
         self._domain_scores = None
@@ -123,8 +139,14 @@ class BM25Index:
                         .filter(F.col("term_bucket")
                                 .isin(self._buckets_of(missing))))
             rows = self._filter_terms(scan, missing).collect()
-            found = {r["term"]: (int(r["df"]), int(r["term_bucket"]))
-                     for r in rows}
+            # SUM df across rows: an incrementally-refreshed index holds
+            # one base row plus one row per delta refresh for a term (same
+            # term_bucket — it's a pure hash of the term)
+            found: dict[str, tuple[int, int]] = {}
+            for r in rows:
+                df0 = found.get(r["term"], (0, 0))[0]
+                found[r["term"]] = (df0 + int(r["df"]),
+                                    int(r["term_bucket"]))
             for t in missing:
                 self._term_memo[t] = found.get(t)  # None = absent, memoized
         return [(t, *self._term_memo[t]) for t in terms
@@ -150,7 +172,10 @@ class BM25Index:
         term_order = {t: i for i, t in enumerate(term_list)}
 
         def shard_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(["term", "block_no"], kind="mergesort")
+            # max_doc_id, not block_no, is the doc-order key once delta
+            # blocks exist: a delta append restarts block_no at 0 but its
+            # doc range lies strictly above every base block's
+            pdf = pdf.sort_values(["term", "max_doc_id"], kind="mergesort")
             per_term: dict[str, list] = {}
             for term, max_doc, max_tfn, buf in zip(
                     pdf["term"], pdf["max_doc_id"], pdf["max_tfnorm"], pdf["block"]):
@@ -210,7 +235,8 @@ class BM25Index:
         def shard_topk_many(pdf: pd.DataFrame) -> pd.DataFrame:
             payload = batch_bc.value
             b_live, b_idfs = payload["live"], payload["idfs"]
-            pdf = pdf.sort_values(["term", "block_no"], kind="mergesort")
+            # doc-order by max_doc_id: correct across base + delta blocks
+            pdf = pdf.sort_values(["term", "max_doc_id"], kind="mergesort")
             per_term: dict[str, list] = {}
             for term, max_doc, max_tfn, buf in zip(
                     pdf["term"], pdf["max_doc_id"], pdf["max_tfnorm"],

@@ -169,11 +169,12 @@ def build_index_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
         meta = {
             "n_docs": stats.n_docs, "avgdl": stats.avgdl,
             "total_postings": stats.total_postings,
+            "n_pages_mapped": spark.read.parquet(paths.doc_map).count(),
             "n_shards": n_shards, "term_buckets": term_buckets,
             "k1": 1.2, "b": 0.75,
         }
-        with open(paths.meta, "w") as f:
-            json.dump(meta, f, indent=2)
+        from . import fsio
+        fsio.write_json(spark, paths.meta, meta)
         manifest.mark_step("finalize", **{k: v for k, v in meta.items()
                                           if isinstance(v, (int, float))})
     return summary

@@ -7,7 +7,8 @@ indexer.py:28-38):
 - ``postings``    (doc_id, term, tf, positions, tags)   flat logical index
 - ``doclens``     (doc_id, dl)
 - ``term_stats``  (term, df, term_bucket)          exact df for BM25 idf
-- ``blocks``      (term, shard, block_no, n, max_doc_id, max_tfnorm, block)
+- ``blocks``      (term, shard, block_no, n, max_doc_id, max_tfnorm,
+                   avgdl0, block)
                   parquet partitioned BY term_bucket → query-term partition
                   pruning, the scalable replacement for the reference's
                   27-way first-letter routing (src/models/db.py:105-114)
@@ -47,6 +48,7 @@ from ..functions.codec import BLOCK_SIZE, encode_block
 from ..functions.text import (extract_links_udf, extract_meta_udf,
                               extract_text_udf, tokenize_udf)
 from ..oracle.refscore import BM25_B, BM25_K1
+from . import fsio
 from .docids import assign_doc_ids
 from .stats import corpus_stats, doc_lengths, term_stats
 
@@ -120,6 +122,12 @@ _BLOCK_SCHEMA = T.StructType([
     T.StructField("n", T.IntegerType(), False),
     T.StructField("max_doc_id", T.LongType(), False),
     T.StructField("max_tfnorm", T.DoubleType(), False),
+    # the avgdl the packer used for max_tfnorm. Blocks appended later by
+    # refresh_derived_delta are packed under a DIFFERENT (newer) avgdl, and
+    # the corpus avgdl keeps moving as docs arrive — the reader restores a
+    # valid upper bound by scaling max_tfnorm with max(1, avgdl_now/avgdl0)
+    # (tfnorm grows at most linearly in avgdl; see BM25Index.search)
+    T.StructField("avgdl0", T.DoubleType(), False),
     T.StructField("block", T.BinaryType(), False),
 ])
 
@@ -152,7 +160,8 @@ def _block_packer(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
                 blk = encode_block(blk_docs, tfs[off:hi].astype(np.uint64),
                                    dls[off:hi].astype(np.uint64))
                 rows.append((term, bucket, shard, bno, int(hi - off),
-                             int(docs[hi - 1]), float(tfnorm[off:hi].max()), blk))
+                             int(docs[hi - 1]), float(tfnorm[off:hi].max()),
+                             float(avgdl), blk))
         return pd.DataFrame(rows, columns=[f.name for f in _BLOCK_SCHEMA.fields])
 
     return pack
@@ -200,7 +209,8 @@ def _sorted_stream_packer(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
                                    l[off:hi].astype(np.uint64))
                 out_rows.append((term, int(bucket), int(shard), bno,
                                  int(hi - off), int(d[hi - 1]),
-                                 float(tfnorm[off:hi].max()), blk))
+                                 float(tfnorm[off:hi].max()),
+                                 float(avgdl), blk))
 
         for pdf in batches:
             if pdf.empty:
@@ -357,8 +367,18 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
 
     elapsed = time.monotonic() - t0
     n_pages = stats.n_docs  # every non-empty page is a doc
+    # n_pages_mapped counts doc_map rows, which INCLUDES zero-token pages
+    # (in doc_map but never in postings) — it is the convergent staleness
+    # sentinel for incremental ingest, where postings-derived n_docs is not
+    n_pages_mapped = doc_map.count()
+    _dm_max = doc_map.agg(F.max("doc_id")).collect()[0][0]
     metrics = {
         "n_docs": stats.n_docs,
+        "n_pages_mapped": n_pages_mapped,
+        # high-water mark of doc_ids covered by the derived tables: later
+        # appends carry strictly larger ids, so a delta refresh reads only
+        # postings with doc_id > this (row-group stats prune base files)
+        "derived_max_doc_id": -1 if _dm_max is None else int(_dm_max),
         "n_pages": n_pages,
         "avgdl": stats.avgdl,
         "total_postings": stats.total_postings,
@@ -381,11 +401,14 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
             p.withColumn("shard",
                          F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")),
             "shard")
-    with open(paths.meta, "w") as f:
-        json.dump(metrics, f, indent=2)
+    fsio.write_json(spark, paths.meta, metrics)
     return metrics
 
 
-def load_meta(out_dir: str) -> dict:
+def load_meta(out_dir: str, spark: SparkSession | None = None) -> dict:
+    """Read meta.json. With ``spark`` the read goes through plans.fsio
+    (any Hadoop filesystem); without it only driver-local roots work."""
+    if spark is not None:
+        return fsio.read_json(spark, IndexPaths(out_dir).meta)
     with open(IndexPaths(out_dir).meta) as f:
         return json.load(f)

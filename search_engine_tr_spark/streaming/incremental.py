@@ -22,27 +22,114 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans import fsio
 from ..plans.docids import assign_doc_ids
 from ..plans.index_build import IndexPaths, occurrences_from_pages, \
     postings_from_occurrences
 
 
+def _intent_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_ingest_intent.json")
+
+
+def _orphan_doc_files(spark: SparkSession, table_dir: str, base: int,
+                      col: str = "doc_id") -> list[str]:
+    """Files under ``table_dir`` (recursive — partitioned tables nest)
+    containing any ``col > base``.
+
+    The append protocols guarantee every COMMITTED row has col ≤ the
+    committed high-water mark (doc_map max for ingest appends,
+    derived_max_doc_id for delta-derived appends), and that one crashed
+    append's rows all exceed it — so such files contain ONLY crashed rows,
+    making whole-file deletion an exact rollback. Local roots read just
+    the parquet FOOTER statistics (O(#files), no data scan); non-local
+    roots fall back to one column-pruned Spark scan. Files without the
+    column at all predate the protocol and are committed by definition;
+    files without usable stats fall back to a single-column read."""
+    files = [f for f in fsio.list_files_recursive(spark, table_dir)
+             if f.endswith(".parquet")]
+    if not files:
+        return []
+    if fsio.local_path(table_dir) is not None:
+        import pyarrow.parquet as pq
+        out = []
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            if col not in md.schema.names:
+                continue
+            ci = md.schema.names.index(col)
+            mx, ok = None, True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                if st.max is not None:
+                    mx = st.max if mx is None else max(mx, st.max)
+            if not ok:  # stats missing: prove it clean with a 1-col read
+                vals = [v for v in
+                        pq.read_table(fp, columns=[col])[col].to_pylist()
+                        if v is not None]
+                mx = max(vals) if vals else None
+            if mx is not None and int(mx) > base:
+                out.append(fp)
+        return out
+    df = spark.read.option("mergeSchema", "true").parquet(table_dir)
+    if col not in df.columns:
+        return []
+    rows = (df.select(F.input_file_name().alias("f"), col)
+            .groupBy("f").agg(F.max(col).alias("mx"))
+            .filter(F.col("mx") > base).collect())
+    return [r["f"] for r in rows]
+
+
 def incremental_index_update(spark: SparkSession, new_pages: DataFrame,
                              index_dir: str,
                              refresh_derived: bool = False) -> dict:
-    """Append-only index update for pages whose url is not yet in doc_map.
+    """Append-only index update for pages whose url is not yet in doc_map,
+    with a crash-safe commit protocol.
 
-    Appends doc_map + flat postings; with ``refresh_derived=True`` also
-    rebuilds term_stats/blocks/meta so the BM25 query path sees the new
-    docs (the derived rebuild reads only the compact postings table, not
-    the raw pages — the expensive tokenization never re-runs). If the
-    index carries the companion tables (pages_text / doc_meta / links —
-    any build_index with defaults), the fresh docs' rows are appended to
-    them too, so snippets, result metadata and backlink authority keep
-    covering stream-ingested documents, not just the original corpus.
+    **doc_map is the commit record**: postings and the companion tables
+    (pages_text / doc_meta / links, if the index carries them) are
+    appended FIRST, and the batch's doc_map rows are appended LAST as a
+    single coalesced file (one atomic rename on a local/HDFS root). The
+    anti-join idempotence key is doc_map, so a replay after a crash
+    anywhere before the doc_map append still sees the batch as fresh —
+    no document can be half-committed into unsearchability (the round-3
+    ordering appended doc_map first, so a crash before the postings
+    append permanently anti-joined those urls away; ADVICE r4).
+
+    Replays are made exact by an intent sidecar + rollback: an
+    ``_ingest_intent.json`` marker is published before the first append
+    and removed after the doc_map commit. When an update finds a
+    surviving marker it (a) deletes orphan files (doc_id > committed max)
+    from postings/doc_meta — exact file-granular rollback, see
+    ``_orphan_doc_files`` — and (b) guards the url-keyed pages_text/links
+    appends with a per-table anti-join so rows the crashed attempt already
+    appended aren't duplicated. The guards only run on crash recovery;
+    the steady-state cost is one O(1) sidecar write+delete per batch.
+
+    With ``refresh_derived=True`` also rebuilds term_stats/blocks/meta so
+    the BM25 query path sees the new docs (the derived rebuild reads only
+    the compact postings table — the expensive tokenization never re-runs).
     """
     paths = IndexPaths(index_dir)
+    intent = _intent_path(index_dir)
     doc_map = spark.read.parquet(paths.doc_map)
+    # explicit None check: `or -1` would treat a legitimate max doc_id of 0
+    # as missing and restart ids at 0, colliding with the existing doc
+    _max_id = doc_map.agg(F.max("doc_id")).collect()[0][0]
+    base = -1 if _max_id is None else int(_max_id)
+    guard_companions = False
+    n_rolled_back = 0
+    if fsio.exists(spark, intent):
+        # a prior attempt crashed between its first append and its doc_map
+        # commit: roll back its orphan rows before appending anything
+        for tdir in (paths.postings, paths.doc_meta):
+            for fp in _orphan_doc_files(spark, tdir, base):
+                fsio.delete(spark, fp)
+                n_rolled_back += 1
+        guard_companions = True
     # localCheckpoint (not cache): appending to doc_map below invalidates
     # any cached plan that READS doc_map (recacheByPath), which would make
     # a cached anti-join silently recompute as empty — checkpointing severs
@@ -51,48 +138,68 @@ def incremental_index_update(spark: SparkSession, new_pages: DataFrame,
         .localCheckpoint()
     n_new = fresh.count()
     if n_new == 0:
+        # nothing uncommitted remains (any crashed attempt was rolled back
+        # above, or its batch actually committed) — clear the marker
+        fsio.delete(spark, intent)
         return {"new_docs": 0}
-    # explicit None check: `or -1` would treat a legitimate max doc_id of 0
-    # as missing and restart ids at 0, colliding with the existing doc
-    _max_id = doc_map.agg(F.max("doc_id")).collect()[0][0]
-    base = -1 if _max_id is None else int(_max_id)
     new_ids = (assign_doc_ids(fresh)
                .withColumn("doc_id", F.col("doc_id") + F.lit(base + 1))
                .localCheckpoint())
-    new_ids.write.mode("append").parquet(paths.doc_map)
-    if os.path.isdir(paths.pages_text):
-        from ..functions.text import extract_text_udf
-        (fresh.select("url", extract_text_udf(F.col("html")).alias("text"),
-                      "lang")
-         .write.mode("append").parquet(paths.pages_text))
-    if os.path.isdir(paths.doc_meta):
-        from ..plans.index_build import materialize_doc_meta
-        materialize_doc_meta(fresh, new_ids, paths.doc_meta, mode="append")
-    if os.path.isdir(paths.links):
-        from ..plans.index_build import materialize_links
-        materialize_links(fresh, paths.links, mode="append")
+    fsio.write_json(spark, intent, {"base": base, "n_new": n_new})
     occ = occurrences_from_pages(fresh)
     postings = postings_from_occurrences(occ, new_ids).localCheckpoint()
     n_postings = postings.count()
     postings.write.mode("append").parquet(paths.postings)
+    if fsio.exists(spark, paths.pages_text):
+        from ..functions.text import extract_text_udf
+        rows = fresh.select("url",
+                            extract_text_udf(F.col("html")).alias("text"),
+                            "lang")
+        if guard_companions:
+            rows = rows.join(spark.read.parquet(paths.pages_text)
+                             .select("url"), "url", "left_anti")
+        rows.write.mode("append").parquet(paths.pages_text)
+    if fsio.exists(spark, paths.doc_meta):
+        # crashed doc_meta rows were rolled back file-granularly above
+        # (doc_meta is doc_id-keyed), so no anti-join guard is needed
+        from ..plans.index_build import materialize_doc_meta
+        materialize_doc_meta(fresh, new_ids, paths.doc_meta, mode="append")
+    if fsio.exists(spark, paths.links):
+        from ..plans.index_build import materialize_links
+        link_pages = fresh
+        if guard_companions:
+            done = (spark.read.parquet(paths.links)
+                    .select(F.col("source_url").alias("url")).distinct())
+            link_pages = fresh.join(done, "url", "left_anti")
+        materialize_links(link_pages, paths.links, mode="append")
+    # COMMIT: one coalesced doc_map file — the append becomes visible as a
+    # single atomic rename, and with it the whole batch
+    new_ids.coalesce(1).write.mode("append").parquet(paths.doc_map)
+    fsio.delete(spark, intent)
     out = {"new_docs": n_new, "new_postings": n_postings}
+    if n_rolled_back:
+        out["rolled_back_files"] = n_rolled_back
     if refresh_derived:
-        out.update(rebuild_derived(spark, index_dir))
+        out.update(refresh_derived_delta(spark, index_dir))
     return out
 
 
 def rebuild_derived(spark: SparkSession, index_dir: str,
                     n_shards: int | None = None,
                     term_buckets: int | None = None) -> dict:
-    """Rebuild term_stats/blocks/meta.json from the (appended) postings."""
-    import json
+    """Rebuild term_stats/blocks/meta.json from the (appended) postings.
 
+    Also records ``n_pages_mapped`` — the doc_map row count — which is the
+    staleness sentinel ``stream_ingest_index`` compares against. It must
+    come from doc_map, not from postings-derived ``n_docs``: a page whose
+    extracted text yields zero tokens is in doc_map but never in postings,
+    so comparing doc_map.count() to n_docs would mismatch forever and
+    trigger a full rebuild on every drain (ADVICE r4)."""
     from ..plans.index_build import build_blocks
     from ..plans.stats import corpus_stats, doc_lengths, term_stats
 
     paths = IndexPaths(index_dir)
-    with open(paths.meta) as f:
-        meta = json.load(f)
+    meta = fsio.read_json(spark, paths.meta)
     n_shards = n_shards or int(meta.get("n_shards", 32))
     term_buckets = term_buckets or int(meta.get("term_buckets", 64))
     postings = spark.read.parquet(paths.postings)
@@ -106,12 +213,118 @@ def rebuild_derived(spark: SparkSession, index_dir: str,
     blocks = build_blocks(postings, doclens, stats.avgdl, n_shards, term_buckets)
     blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(paths.blocks)
     doclens.unpersist()
+    doc_map = spark.read.parquet(paths.doc_map)
+    n_pages_mapped = doc_map.count()
+    _dm_max = doc_map.agg(F.max("doc_id")).collect()[0][0]
     meta.update({"n_docs": stats.n_docs, "avgdl": stats.avgdl,
                  "total_postings": stats.total_postings,
+                 "n_pages_mapped": n_pages_mapped,
+                 "derived_max_doc_id": -1 if _dm_max is None else int(_dm_max),
                  "n_shards": n_shards, "term_buckets": term_buckets})
-    with open(paths.meta, "w") as f:
-        json.dump(meta, f, indent=2)
+    fsio.write_json(spark, paths.meta, meta)
+    # a full rebuild canonicalizes everything a crashed delta refresh
+    # might have left behind — clear its marker
+    fsio.delete(spark, os.path.join(index_dir, "_derived_intent.json"))
     return {"n_docs": stats.n_docs, "total_postings": stats.total_postings}
+
+
+def refresh_derived_delta(spark: SparkSession, index_dir: str) -> dict:
+    """Data-proportional derived refresh — the 100 TB replacement for
+    ``rebuild_derived``'s O(full index) pass after each ingest batch.
+
+    Only postings with ``doc_id > meta.derived_max_doc_id`` are read (the
+    append-only protocol guarantees new batches carry strictly larger ids,
+    and parquet row-group stats prune every base file from the scan), and
+    they are folded in as DELTAS:
+
+    - **term_stats**: one delta row per touched term, appended;
+      ``BM25Index._term_meta`` sums df across a term's rows.
+    - **blocks**: packed from the delta postings only, under the UPDATED
+      corpus avgdl, and appended. Readers order a term's blocks by
+      max_doc_id (delta ranges sit strictly above base ranges) and restore
+      valid WAND bounds by scaling each block's stored max_tfnorm with
+      max(1, avgdl_now/avgdl0).
+    - **meta**: n_docs/avgdl/total_postings updated by exact integer
+      arithmetic — bit-identical to a full recompute (avgdl =
+      Σdl / n_docs in the same double division), so scores match a
+      from-scratch build exactly.
+
+    The deltas accumulate small blocks; ``rebuild_derived`` (or the
+    compaction job) remains the periodic canonicalization pass. Falls back
+    to ``rebuild_derived`` for metas predating the delta keys. Exact-score
+    parity with a from-scratch build is pinned by test_stream_ingest.
+
+    Crash-safe like the ingest append: a ``_derived_intent.json`` marker
+    brackets the two appends, and a surviving marker triggers file-exact
+    rollback before refolding — crashed delta BLOCK files are identified
+    by max_doc_id > derived_max_doc_id, crashed delta TERM_STATS files by
+    their ``gen`` column (stamped with the refresh's high-water mark,
+    committed only when meta advances). Without this, a replayed refresh
+    would double every touched term's df and score delta docs twice.
+    """
+    from ..plans.index_build import build_blocks
+    from ..plans.stats import doc_lengths, term_stats
+
+    paths = IndexPaths(index_dir)
+    meta = fsio.read_json(spark, paths.meta)
+    if "derived_max_doc_id" not in meta or "total_postings" not in meta:
+        return rebuild_derived(spark, index_dir)
+    dmax = int(meta["derived_max_doc_id"])
+    n_shards = int(meta.get("n_shards", 32))
+    term_buckets = int(meta.get("term_buckets", 64))
+    intent = os.path.join(index_dir, "_derived_intent.json")
+    if fsio.exists(spark, intent):
+        # a prior refresh crashed between its appends and its meta commit
+        for fp in _orphan_doc_files(spark, paths.blocks, dmax,
+                                    col="max_doc_id"):
+            fsio.delete(spark, fp)
+        for fp in _orphan_doc_files(spark, paths.term_stats, dmax,
+                                    col="gen"):
+            fsio.delete(spark, fp)
+    delta = (spark.read.parquet(paths.postings)
+             .filter(F.col("doc_id") > dmax))
+    doclens = doc_lengths(delta).localCheckpoint()
+    row = doclens.agg(F.count("*").alias("n"), F.sum("dl").alias("tot"),
+                      F.max("doc_id").alias("mx")).collect()[0]
+    n_new = int(row["n"] or 0)
+    doc_map = spark.read.parquet(paths.doc_map)
+    n_pages_mapped = doc_map.count()
+    _dm_max = doc_map.agg(F.max("doc_id")).collect()[0][0]
+    new_high = max(dmax, -1 if _dm_max is None else int(_dm_max))
+    if n_new == 0:
+        # only zero-token pages arrived (doc_map moved, postings didn't):
+        # advance the sentinel + high-water mark so drains converge
+        meta.update({"n_pages_mapped": n_pages_mapped,
+                     "derived_max_doc_id": new_high})
+        fsio.write_json(spark, paths.meta, meta)
+        fsio.delete(spark, intent)
+        return {"n_docs": int(meta["n_docs"]),
+                "total_postings": int(meta["total_postings"]),
+                "delta_docs": 0}
+    n_docs = int(meta["n_docs"]) + n_new
+    total = int(meta["total_postings"]) + int(row["tot"])
+    avgdl = total / n_docs  # exactly what corpus_stats would compute
+    fsio.write_json(spark, intent, {"dmax": dmax, "new_high": new_high})
+    ts_delta = (term_stats(delta)
+                .withColumn("term_bucket",
+                            F.pmod(F.xxhash64("term"),
+                                   F.lit(term_buckets)).cast("int"))
+                .withColumn("gen", F.lit(new_high).cast("long")))
+    ts_delta.write.mode("append").partitionBy("term_bucket") \
+        .parquet(paths.term_stats)
+    blocks = build_blocks(delta, doclens, avgdl, n_shards, term_buckets)
+    blocks.write.mode("append").partitionBy("term_bucket") \
+        .parquet(paths.blocks)
+    # COMMIT: the meta write publishes the new high-water mark; the intent
+    # removal afterwards just re-arms the steady-state fast path
+    meta.update({"n_docs": n_docs, "avgdl": avgdl,
+                 "total_postings": total,
+                 "n_pages_mapped": n_pages_mapped,
+                 "derived_max_doc_id": new_high})
+    fsio.write_json(spark, paths.meta, meta)
+    fsio.delete(spark, intent)
+    return {"n_docs": n_docs, "total_postings": total,
+            "delta_docs": n_new}
 
 
 def stream_ingest_index(spark: SparkSession, pages_dir: str, index_dir: str,
@@ -127,20 +340,22 @@ def stream_ingest_index(spark: SparkSession, pages_dir: str, index_dir: str,
     "batch delivered" and "checkpoint committed" cannot double-index.
     Cold start bootstraps a full ``build_index`` from the first batch;
     warm batches append (postings + the companion pages_text/doc_meta/
-    links rows). Derived tables (term_stats/blocks/meta) are rebuilt at
-    most ONCE after the availableNow drain rather than per batch — at
-    100 TB the tokenize/append work is the data-proportional part and
-    runs per batch, while the derived rebuild reads only the compact
-    postings table. The rebuild triggers on a STALENESS CHECK
-    (doc_map count vs meta.json's n_docs), not on this drain's append
-    counter: a crash between a committed micro-batch and the rebuild
-    leaves the derived tables stale, and the next drain — even an empty
-    one — detects the mismatch and heals it.
+    links rows). Derived tables (term_stats/blocks/meta) are refreshed at
+    most ONCE after the availableNow drain rather than per batch, and
+    INCREMENTALLY (refresh_derived_delta): only postings above the
+    derived high-water mark are read — row-group stats prune every base
+    file — so the refresh cost is proportional to the drain, not the
+    index. The refresh triggers on a STALENESS CHECK
+    (doc_map count vs meta.json's ``n_pages_mapped`` — NOT the
+    postings-derived n_docs, which zero-token pages would desync
+    forever), not on this drain's append counter: a crash between a
+    committed micro-batch and the rebuild leaves the derived tables
+    stale, and the next drain — even an empty one — detects the mismatch
+    and heals it.
 
-    ``index_dir`` must be reachable by the driver's local ``open()`` for
-    meta.json — the same constraint as build_index/rebuild_derived (for
-    an object-store index root, port the meta handling to the Hadoop FS
-    API first; the bootstrap probe below shares that assumption).
+    Sidecar IO (meta.json, the ingest-intent marker) goes through
+    ``plans.fsio`` — local fast path or the Hadoop FileSystem API — so an
+    object-store index root works too.
 
     Blocking (availableNow): returns {"new_docs": total appended this
     drain, ...} after the drain and any needed derived refresh.
@@ -152,11 +367,14 @@ def stream_ingest_index(spark: SparkSession, pages_dir: str, index_dir: str,
     totals = {"new_docs": 0, "new_postings": 0}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not os.path.exists(paths.meta):
+        if not fsio.exists(spark, paths.meta):
             from ..plans.index_build import build_index
             m = build_index(spark, batch_df, index_dir, n_shards=n_shards,
                             term_buckets=term_buckets)
-            totals["new_docs"] += int(m.get("n_docs", 0))
+            # report MAPPED pages (includes zero-token docs), consistent
+            # with the warm path's doc_map-anti-join count
+            totals["new_docs"] += int(m.get("n_pages_mapped",
+                                            m.get("n_docs", 0)))
             totals["new_postings"] += int(m.get("total_postings", 0))
         else:
             m = incremental_index_update(spark, batch_df, index_dir,
@@ -171,12 +389,14 @@ def stream_ingest_index(spark: SparkSession, pages_dir: str, index_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    if os.path.exists(paths.meta):
-        import json
-        with open(paths.meta) as f:
-            indexed = int(json.load(f).get("n_docs", -1))
-        if spark.read.parquet(paths.doc_map).count() != indexed:
-            totals.update(rebuild_derived(spark, index_dir))
+    if fsio.exists(spark, paths.meta):
+        meta = fsio.read_json(spark, paths.meta)
+        # n_pages_mapped (doc_map rows at last derived refresh) is the
+        # convergent sentinel; fall back to n_docs only for a pre-r4 meta
+        mapped_at_refresh = int(meta.get("n_pages_mapped",
+                                         meta.get("n_docs", -1)))
+        if spark.read.parquet(paths.doc_map).count() != mapped_at_refresh:
+            totals.update(refresh_derived_delta(spark, index_dir))
     return totals
 
 

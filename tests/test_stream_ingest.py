@@ -125,3 +125,156 @@ def test_stream_ingest_heals_stale_derived(spark, tmp_path):
     fresh_urls = {u for q in QUERIES
                   for (u, _) in _results(spark, fresh_ix, [q])[q]}
     assert all_urls == fresh_urls
+
+
+def test_crash_before_doc_map_commit_is_rolled_back(spark, tmp_path,
+                                                    monkeypatch):
+    """The widest crash window of the r4 commit protocol: postings AND all
+    companion tables appended, process dies just before the doc_map commit
+    (injected at the commit's coalesce call). The replay must (a) still see
+    the batch as fresh (doc_map is the anti-join key and was never
+    written), (b) roll back the orphan postings/doc_meta files and guard
+    the url-keyed companions, and (c) leave the index byte-equivalent to a
+    clean run — no lost documents (the r3 bug: doc_map-first ordering made
+    crashed docs permanently unsearchable) and no duplicated rows."""
+    # the CONCRETE class (Spark 4 split): patching the abstract
+    # pyspark.sql.dataframe.DataFrame never fires
+    import pyspark.sql.classic.dataframe as D
+    import pytest
+
+    from search_engine_tr_spark.streaming.incremental import \
+        incremental_index_update
+
+    pages = gen_pages(50, seed=17)
+    ix = str(tmp_path / "ix")
+    build_index(spark, spark.createDataFrame(pages[:40],
+                                             schema=pages_schema()),
+                ix, n_shards=4, term_buckets=8)
+    batch = spark.createDataFrame(pages[40:], schema=pages_schema())
+
+    orig_coalesce = D.DataFrame.coalesce
+
+    def boom(self, n):
+        raise RuntimeError("injected crash before doc_map commit")
+
+    monkeypatch.setattr(D.DataFrame, "coalesce", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_index_update(spark, batch, ix)
+    monkeypatch.setattr(D.DataFrame, "coalesce", orig_coalesce)
+
+    # crashed state: intent marker present, doc_map untouched
+    assert os.path.exists(os.path.join(ix, "_ingest_intent.json"))
+    assert spark.read.parquet(os.path.join(ix, "doc_map")).count() == 40
+
+    m = incremental_index_update(spark, batch, ix, refresh_derived=True)
+    assert m["new_docs"] == 10
+    assert m.get("rolled_back_files", 0) >= 1  # orphan postings deleted
+    assert not os.path.exists(os.path.join(ix, "_ingest_intent.json"))
+
+    # no duplicates anywhere
+    p = spark.read.parquet(os.path.join(ix, "postings"))
+    assert p.groupBy("doc_id", "term").count().filter("count > 1") \
+        .count() == 0
+    dm = spark.read.parquet(os.path.join(ix, "doc_map"))
+    assert dm.count() == 50
+    assert dm.select("url").distinct().count() == 50
+    assert dm.select("doc_id").distinct().count() == 50
+    for table in ("pages_text", "doc_meta"):
+        t = spark.read.parquet(os.path.join(ix, table))
+        assert t.count() == t.select("url").distinct().count() == 50, table
+    links = spark.read.parquet(os.path.join(ix, "links"))
+    assert links.count() == links.distinct().count()
+
+    # search parity with a clean from-scratch build over all 50 pages
+    fresh_ix = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(pages, schema=pages_schema()),
+                fresh_ix, n_shards=4, term_buckets=8)
+    assert _results(spark, ix, QUERIES) == _results(spark, fresh_ix, QUERIES)
+
+
+def test_zero_token_pages_do_not_loop_rebuilds(spark, tmp_path):
+    """ADVICE r4: a page whose extracted text has zero tokens lives in
+    doc_map but never in postings. The staleness sentinel must compare
+    doc_map.count() against the doc_map count recorded at the last derived
+    refresh (n_pages_mapped) — comparing against postings-derived n_docs
+    would keep the two forever unequal and run a full rebuild on EVERY
+    drain, including empty ones."""
+    pages = gen_pages(20, seed=23)
+    pages.append({"url": "https://bos.example/empty", "warc_ts": pages[0]["warc_ts"],
+                  "html": b"<html><head></head><body></body></html>",
+                  "text": None, "lang": "tr"})
+    src = str(tmp_path / "pages")
+    ix = str(tmp_path / "ix")
+    ck = str(tmp_path / "ck")
+    _write_wave(spark, pages, src)
+    s1 = stream_ingest_index(spark, src, ix, ck, n_shards=4, term_buckets=8)
+    assert s1["new_docs"] == 21
+    # postings-derived n_docs excludes the empty page…
+    dm = spark.read.parquet(os.path.join(ix, "doc_map")).count()
+    from search_engine_tr_spark.plans.index_build import load_meta
+    meta = load_meta(ix, spark)
+    assert dm == 21 and meta["n_docs"] == 20
+    assert meta["n_pages_mapped"] == 21
+    # …and an empty drain must be a true no-op (no rebuild triggered)
+    s2 = stream_ingest_index(spark, src, ix, ck, n_shards=4, term_buckets=8)
+    assert s2["new_docs"] == 0 and "n_docs" not in s2
+
+
+def test_crash_in_delta_refresh_no_double_count(spark, tmp_path, monkeypatch):
+    """Crash inside refresh_derived_delta AFTER its term_stats/blocks
+    appends but BEFORE the meta commit. A naive replay would fold the same
+    delta twice — doubling every touched term's df and scoring the delta
+    docs twice. The derived-intent rollback must make the replay exact:
+    results equal a from-scratch build, and block postings counts match
+    the postings table exactly."""
+    import pytest
+
+    from search_engine_tr_spark.streaming import incremental as inc
+
+    pages = gen_pages(50, seed=29)
+    ix = str(tmp_path / "ix")
+    build_index(spark, spark.createDataFrame(pages[:40],
+                                             schema=pages_schema()),
+                ix, n_shards=4, term_buckets=8)
+    batch = spark.createDataFrame(pages[40:], schema=pages_schema())
+
+    real_write_json = inc.fsio.write_json
+
+    def failing(spark_, path, obj):
+        if path.endswith("meta.json"):
+            raise RuntimeError("injected crash before meta commit")
+        return real_write_json(spark_, path, obj)
+
+    monkeypatch.setattr(inc.fsio, "write_json", failing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        inc.incremental_index_update(spark, batch, ix, refresh_derived=True)
+    monkeypatch.setattr(inc.fsio, "write_json", real_write_json)
+
+    # crashed state: ingest committed (doc_map has 50), derived refresh
+    # appended its deltas but never advanced meta
+    assert os.path.exists(os.path.join(ix, "_derived_intent.json"))
+    assert spark.read.parquet(os.path.join(ix, "doc_map")).count() == 50
+
+    m = inc.refresh_derived_delta(spark, ix)
+    assert m["delta_docs"] == 10
+    assert not os.path.exists(os.path.join(ix, "_derived_intent.json"))
+
+    # every posting packed exactly once
+    p_rows = spark.read.parquet(os.path.join(ix, "postings")).count()
+    blk_n = spark.read.parquet(os.path.join(ix, "blocks")) \
+        .agg({"n": "sum"}).collect()[0][0]
+    assert blk_n == p_rows
+    # df not doubled: term_stats sums equal distinct (term, doc) counts
+    ts = spark.read.parquet(os.path.join(ix, "term_stats")) \
+        .groupBy("term").sum("df").collect()
+    from collections import Counter
+    want_df = Counter(
+        r["term"] for r in spark.read.parquet(os.path.join(ix, "postings"))
+        .select("term", "doc_id").distinct().collect())
+    assert {r["term"]: r["sum(df)"] for r in ts} == dict(want_df)
+
+    # and full search parity with a from-scratch build
+    fresh_ix = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(pages, schema=pages_schema()),
+                fresh_ix, n_shards=4, term_buckets=8)
+    assert _results(spark, ix, QUERIES) == _results(spark, fresh_ix, QUERIES)
