@@ -131,6 +131,18 @@ def main() -> None:
     idx.search_blended("haber spor", k=10, alpha=0.1).collect()
     timings["bm25_blended"] = time.monotonic() - t0
 
+    # phrase + snippet retrieval modes over the same index (round 4):
+    # positional chain-join and post-limit highlight join get wall-time
+    # rows like every other operator
+    from search_engine_tr_spark.operators.phrase import phrase_search
+    from search_engine_tr_spark.operators.snippets import search_with_snippets
+    t0 = time.monotonic()
+    phrase_search(spark, OUT, "istanbul spor", k=10).collect()
+    timings["phrase_query"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    search_with_snippets(idx, "haber spor", k=10).collect()
+    timings["bm25_snippets"] = time.monotonic() - t0
+
     # -- EVERY gate query at SF_DIR (full round-over-round ladder) ---------
     qreg = entry_mod.queries()
     for name in sorted(qreg):

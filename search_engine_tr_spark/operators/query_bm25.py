@@ -56,16 +56,27 @@ class BM25Index:
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
         self.term_buckets = int(self.meta.get("term_buckets", 64))
+        # Query jobs are short multi-stage pipelines over pruned, small
+        # inputs; AQE's per-stage re-optimization round-trips cost more
+        # than they save there (measured: sequential p50 525→375 ms, p95
+        # 866→430 ms, batch1000 2-3× — BENCH notes r4). Run ALL reader
+        # jobs in a sibling session with AQE off; index BUILD jobs keep
+        # the parent session's AQE (skew-join handling matters there).
+        # newSession shares the SparkContext and table cache, so nothing
+        # is re-read, and cross-session joins with caller frames work.
+        self._qspark = spark.newSession()
+        self._qspark.conf.set("spark.sql.adaptive.enabled", "false")
         # build the readers once: the partitioned-dir file listing and
         # parquet footers are amortized across queries
         self.tstats_mode = tstats_mode
         if tstats_mode == "memory":
-            self._tstats = spark.read.parquet(self.paths.term_stats).persist()
+            self._tstats = self._qspark.read.parquet(
+                self.paths.term_stats).persist()
         elif tstats_mode == "pruned":
             self._tstats = None
         else:
             raise ValueError(f"unknown tstats_mode {tstats_mode!r}")
-        blocks = spark.read.parquet(self.paths.blocks)
+        blocks = self._qspark.read.parquet(self.paths.blocks)
         if "avgdl0" in blocks.columns:
             # blocks appended incrementally (refresh_derived_delta) were
             # packed under the avgdl of THEIR refresh; the corpus avgdl has
@@ -135,7 +146,7 @@ class BM25Index:
                 scan = self._tstats
             else:
                 # pruned mode: directory-level pruning to the query's buckets
-                scan = (self.spark.read.parquet(self.paths.term_stats)
+                scan = (self._qspark.read.parquet(self.paths.term_stats)
                         .filter(F.col("term_bucket")
                                 .isin(self._buckets_of(missing))))
             rows = self._filter_terms(scan, missing).collect()
@@ -265,7 +276,7 @@ class BM25Index:
         """Top-k + url — metadata join AFTER the limit (tiny broadcast)."""
         top = self.search(raw_query, k, mode)
         if self._doc_map is None:
-            self._doc_map = self.spark.read.parquet(self.paths.doc_map)
+            self._doc_map = self._qspark.read.parquet(self.paths.doc_map)
         return (top.join(self._doc_map, "doc_id", "left")
                 .orderBy(F.desc("score"), F.asc("doc_id")))
 
@@ -277,7 +288,7 @@ class BM25Index:
         ``limit(k)``: k rows against a broadcast lookup, never a wide join."""
         with_urls = self.search_with_urls(raw_query, k, mode)
         if self._doc_meta is None:
-            self._doc_meta = self.spark.read.parquet(self.paths.doc_meta)
+            self._doc_meta = self._qspark.read.parquet(self.paths.doc_meta)
         meta = self._doc_meta.select("doc_id", "title", "description")
         return (with_urls.join(meta, "doc_id", "left")
                 .select("doc_id", "url", "score", "title", "description")
@@ -316,7 +327,7 @@ class BM25Index:
             # after a later backlinks_job run and the next query picks it up
             from pyspark.errors import AnalysisException
             try:
-                scores_df = self.spark.read.parquet(self.paths.domain_scores)
+                scores_df = self._qspark.read.parquet(self.paths.domain_scores)
                 scores_df.schema  # force resolution now, not at join time
                 self._domain_scores = scores_df
             except AnalysisException as e:
@@ -349,7 +360,7 @@ class BM25Index:
             return out
         # title/description AFTER the limit, like search_with_meta
         if self._doc_meta is None:
-            self._doc_meta = self.spark.read.parquet(self.paths.doc_meta)
+            self._doc_meta = self._qspark.read.parquet(self.paths.doc_meta)
         meta = self._doc_meta.select("doc_id", "title", "description")
         return (out.join(meta, "doc_id", "left")
                 .select("doc_id", "url", "score", "bm25", "authority",

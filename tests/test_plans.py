@@ -102,3 +102,33 @@ def test_blended_search_joins_broadcast(spark, tiny_index):
     p = _plan(idx.search_blended("haber spor", k=5))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p  # nothing shuffles on the result path
+
+
+def test_phrase_chain_join_has_no_explode(spark, tiny_index):
+    """Phrase matching must stay array-math over per-term position lists:
+    no Generate (explode) node and no per-occurrence row blowup in the
+    chain-join plan; the per-term postings reads push the term filter."""
+    from search_engine_tr_spark.operators.phrase import phrase_match
+
+    out, _ = tiny_index
+    postings = spark.read.parquet(out + "/postings")
+    df = phrase_match(postings, ["istanbul", "spor"])
+    p = _plan(df)
+    assert "Generate" not in p  # Generate == explode/posexplode node
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("term" in ln for ln in pushed)
+
+
+def test_sequential_search_plan_is_aqe_free_and_pruned(spark, tiny_index):
+    """The round-4 latency fix: per-query jobs run in the reader's sibling
+    session with AQE disabled (measured ~30% p50 / 2x p95 win — AQE's
+    per-stage re-plan dominates small pruned queries), while the parent
+    session keeps AQE for builds. The plan must show no AdaptiveSparkPlan
+    node and still prune block partitions."""
+    out, _ = tiny_index
+    idx = BM25Index(spark, out)
+    assert idx._qspark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    p = _plan(idx.search("haber spor", k=5))
+    assert "AdaptiveSparkPlan" not in p
+    assert "TakeOrderedAndProject" in p
