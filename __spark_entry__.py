@@ -829,6 +829,45 @@ def _blocks_index(spark, sf_dir: str):
     return BM25Index(spark, out)
 
 
+_INCR_INDEX_CACHE: dict[str, str] = {}
+
+
+def _blocks_index_incremental(spark, sf_dir: str):
+    """Build (memoized, thread-safe) a block index the INCREMENTAL way:
+    bootstrap over the even-doc_id half of the documents table, then fold
+    the odd half in through the round-4 ingest machinery —
+    ``incremental_index_update`` (doc_map-last commit protocol) with
+    ``refresh_derived_delta`` (delta term_stats/blocks, exact integer
+    corpus-stat arithmetic, avgdl0 bound rescale). Queries against it must
+    be bit-identical to full-corpus BM25, which is what the oracle checks."""
+    from search_engine_tr_spark.operators.query_bm25 import BM25Index
+    from search_engine_tr_spark.plans.index_build import build_index
+    from search_engine_tr_spark.streaming.incremental import \
+        incremental_index_update
+
+    with _BLOCKS_INDEX_LOCK:
+        out = _INCR_INDEX_CACHE.get(sf_dir)
+        if out is None:
+            docs = _t(spark, sf_dir, "documents")
+            pages = docs.select(
+                F.format_string("https://d%08d.example/p",
+                                F.col("doc_id")).alias("url"),
+                F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+                 .cast("binary").alias("html"),
+                F.lit("en").alias("lang"),
+                (F.col("doc_id") % 2).alias("_par"))
+            out = _scratch_dir("graft_bm25_incr_")
+            build_index(spark, pages.filter(F.col("_par") == 0).drop("_par"),
+                        out, n_shards=8, term_buckets=16,
+                        collect_metrics=False, write_text=False,
+                        write_meta=False, write_links=False)
+            m = incremental_index_update(spark, pages.drop("_par"), out,
+                                         refresh_derived=True)
+            assert m["new_docs"] > 0, "incremental half was empty"
+            _INCR_INDEX_CACHE[sf_dir] = out
+    return BM25Index(spark, out)
+
+
 def _orig_doc_id(url_col):
     """Engine url → the documents table's doc_id (see q_bm25_blocks)."""
     return F.regexp_extract(url_col, r"d(\d+)\.example", 1).cast("long")
@@ -851,6 +890,23 @@ def q_bm25_blocks(spark, sf_dir):
     top-50 (superset of any tie group at rank 10) and re-rank on
     (rounded score desc, ORIGINAL doc_id asc) — the oracle's exact rule."""
     idx = _blocks_index(spark, sf_dir)
+    top = idx.search_with_urls(" ".join(_BM25_TERMS), k=50, mode="wand")
+    return (top
+            .withColumn("doc_id0", _orig_doc_id(F.col("url")))
+            .select(F.col("doc_id0").alias("doc_id"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10))
+
+
+def q_bm25_blocks_incremental(spark, sf_dir):
+    """The round-4 INGEST pipeline under the value gate: an index built as
+    bootstrap-half + incremental-fold (commit protocol + delta derived
+    refresh) must answer queries bit-identically to full-corpus BM25 —
+    the oracle is the very same SQL as bm25_blocks. Any drift in the delta
+    df sums, the integer avgdl arithmetic, the max_doc_id block ordering,
+    or the avgdl0 bound rescale mismatches the hash."""
+    idx = _blocks_index_incremental(spark, sf_dir)
     top = idx.search_with_urls(" ".join(_BM25_TERMS), k=50, mode="wand")
     return (top
             .withColumn("doc_id0", _orig_doc_id(F.col("url")))
@@ -1133,6 +1189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_join": q_attribution_join,
         "stream_dedup": q_stream_dedup,
         "image_features": q_image_features,
+        # round-4: the ingest pipeline (commit protocol + delta refresh)
+        # under the value gate
+        "bm25_blocks_incremental": q_bm25_blocks_incremental,
         # round-3 production paths (never sampled by any driver round)
         "bm25_blocks": q_bm25_blocks,
         "bm25_blocks_batch": q_bm25_blocks_batch,
@@ -1576,6 +1635,9 @@ SELECT s.doc_id,
 FROM s
 ORDER BY score DESC, s.doc_id LIMIT 10""",
         "pagerank_scores": _pagerank_sql(),
+        # the incremental build must equal full-corpus BM25 exactly —
+        # deliberately the SAME oracle as bm25_blocks
+        "bm25_blocks_incremental": _bm25_sql(),
         "phrase_search": f"""
 WITH lst AS (
   SELECT doc_id,
