@@ -72,7 +72,10 @@ def search_with_snippets(idx, raw_query: str, k: int = 10,
     """BM25Index top-k + url + highlighted snippet. Requires the index to
     have been built with ``write_text=True`` (the pages_text table)."""
     top = idx.search_with_urls(raw_query, k, mode)
-    pages_text = idx.spark.read.parquet(idx.paths.pages_text)
+    # read through the index's AQE-off reader session like every other
+    # per-query job (tiny k-row lookup; falls back for non-BM25Index idx)
+    pages_text = getattr(idx, "_qspark", idx.spark) \
+        .read.parquet(idx.paths.pages_text)
     terms = idx.query_terms(raw_query)
     return (with_snippets(top, pages_text, terms, window)
             .orderBy(F.desc("score"), F.asc("doc_id")))
