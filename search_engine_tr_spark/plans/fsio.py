@@ -59,14 +59,10 @@ def read_text(spark, path: str) -> str:
     fs, jpath = _jfs(spark, path)
     stream = fs.open(jpath)
     try:
-        out = bytearray()
-        buf = bytearray(65536)
-        while True:
-            n = stream.read(buf)
-            if n <= 0:
-                break
-            out += buf[:n]
-        return bytes(out).decode("utf-8")
+        # read fully JVM-side: py4j passes byte[] BY VALUE, so a
+        # stream.read(python_bytearray) loop would never see the data
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
     finally:
         stream.close()
 

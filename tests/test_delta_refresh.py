@@ -61,7 +61,9 @@ def test_three_generation_stack_and_avgdl_rescale(spark, tmp_path):
         ix, refresh_derived=True)
     assert m2["delta_docs"] == 12
     meta = load_meta(ix, spark)
-    assert meta["avgdl"] > 2 * avgdl0  # the drift is real, not cosmetic
+    # the drift is real, not cosmetic (gen_pages docs average ~700 tokens,
+    # the long wave 4000 → corpus avgdl rises ~1.5x, engaging the rescale)
+    assert meta["avgdl"] > 1.3 * avgdl0
     # three distinct block generations on disk
     gens = {round(r["avgdl0"], 6) for r in
             spark.read.parquet(os.path.join(ix, "blocks"))
