@@ -1168,6 +1168,21 @@ def q_image_features(spark, sf_dir):
                     F.round(F.col("frac").cast("double"), 6).alias("frac")))
 
 
+def q_dup_components(spark, sf_dir):
+    """Transitive near-dup clustering — the keep-list step a training-data
+    dedup pipeline needs after any pair generator: connected components of
+    the token-jaccard pair graph by iterative min-label propagation
+    (operators.dedup.dup_components), comp = component's min doc_id (the
+    canonical doc). Oracle: recursive-CTE reachability closure over the
+    same pairs."""
+    from search_engine_tr_spark.operators.dedup import (dup_components,
+                                                        token_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = token_jaccard_pairs(docs, threshold=0.8)
+    return dup_components(pairs).select("id", "comp")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1189,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_join": q_attribution_join,
         "stream_dedup": q_stream_dedup,
         "image_features": q_image_features,
+        "dup_components": q_dup_components,
         # round-4: the ingest pipeline (commit protocol + delta refresh)
         # under the value gate
         "bm25_blocks_incremental": q_bm25_blocks_incremental,
@@ -1638,6 +1654,33 @@ ORDER BY score DESC, s.doc_id LIMIT 10""",
         # the incremental build must equal full-corpus BM25 exactly —
         # deliberately the SAME oracle as bm25_blocks
         "bm25_blocks_incremental": _bm25_sql(),
+        "dup_components": r"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS token
+  FROM documents WHERE doc_id < 300
+), toks2 AS (SELECT id, token FROM toks WHERE token <> ''),
+sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM toks2 a JOIN toks2 b USING (token)
+  WHERE a.id < b.id GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.8
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS id, least(src, min(dst))::BIGINT AS comp
+FROM reach GROUP BY src""",
         "phrase_search": f"""
 WITH lst AS (
   SELECT doc_id,

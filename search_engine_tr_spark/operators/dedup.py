@@ -382,3 +382,62 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                 F.col("h_a").bitwiseXOR(F.col("h_b"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Transitive near-dup clustering (pairs -> components -> keep-list)
+# ---------------------------------------------------------------------------
+
+def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 50) -> DataFrame:
+    """Connected components of the near-dup pair graph → (id, comp),
+    where ``comp`` is the component's MINIMUM member id (so it doubles as
+    the canonical-doc choice). Every id appearing in any pair gets a row.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(graph diameter) rounds with one join + one aggregate per round (the
+    same loop shape as the PageRank operator — labels are
+    localCheckpoint'd per round to keep lineage flat). Near-dup graphs
+    are overwhelmingly tiny cliques/chains, so the diameter is small in
+    practice; for adversarial long-path graphs the two-phase
+    large-star/small-star variant (O(log n) rounds) is the drop-in
+    upgrade. Raises if ``max_iter`` rounds don't converge — never returns
+    a partially-propagated labeling silently.
+    """
+    edges = pairs.select(F.col(id_a).cast("long").alias("src"),
+                         F.col(id_b).cast("long").alias("dst"))
+    sym = (edges.union(edges.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+           .distinct().localCheckpoint())
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id")).localCheckpoint())
+    for _ in range(max_iter):
+        nb = (sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+              .groupBy(F.col("src").alias("id"))
+              .agg(F.min("comp").alias("_nbmin")))
+        new_labels = (labels.join(nb, "id", "left")
+                      .select("id", F.least("comp", "_nbmin").alias("comp"))
+                      .localCheckpoint())
+        changed = (new_labels.withColumnRenamed("comp", "_new")
+                   .join(labels, "id")
+                   .filter(F.col("_new") != F.col("comp")).count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"dup_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter — raise it, or switch to the "
+        "large-star/small-star variant)")
+
+
+def near_dedup(df: DataFrame, pairs: DataFrame,
+               id_col: str = "doc_id") -> DataFrame:
+    """Drop every near-duplicate except its component's minimum-id doc:
+    the end-to-end keep-list step of a training-data dedup pipeline
+    (pairs from token_jaccard_pairs / minhash_lsh_pairs /
+    simhash_near_pairs all fit). Docs in no pair survive untouched."""
+    comp = dup_components(pairs)
+    drop = (comp.filter(F.col("comp") != F.col("id"))
+            .select(F.col("id").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")

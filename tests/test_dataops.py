@@ -399,3 +399,59 @@ def test_pcm16_roundtrip_rms(spark):
     bad = spark.createDataFrame([(9, [40000])], df.schema)
     with pytest.raises(Exception, match="int16"):
         bad.select(multimodal.pcm16_pack_udf("samples")).collect()
+
+
+def test_dup_components_vs_union_find(spark):
+    """Connected components vs a pure-python union-find on a graph with a
+    long chain (forces multiple propagation rounds), a clique, a separate
+    pair, and an isolated edge."""
+    from search_engine_tr_spark.operators.dedup import dup_components
+
+    edges = ([(i, i + 1) for i in range(10, 18)]        # chain 10..18
+             + [(1, 2), (2, 3), (1, 3)]                 # clique {1,2,3}
+             + [(40, 41)]                               # pair
+             + [(99, 7)])                               # cross edge
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r["id"], r["comp"])
+           for r in dup_components(df, max_iter=20).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {(x, find(x)) for x in parent}
+    assert got == want
+    # chain collapsed to one component rooted at its min
+    assert (18, 10) in got
+
+
+def test_near_dedup_keeps_component_minimum(spark):
+    """near_dedup drops everything but the min-id doc per component and
+    leaves unpaired docs untouched."""
+    from search_engine_tr_spark.operators.dedup import near_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 7, 9)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in near_dedup(docs, pairs).collect())
+    assert kept == [1, 7, 9]
+
+
+def test_dup_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from search_engine_tr_spark.operators.dedup import dup_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(0, 12)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_components(chain, max_iter=2)
