@@ -76,19 +76,22 @@ def test_blocks_index_queries_thread_safe(spark):
     result must equal its sequential run."""
     from concurrent.futures import ThreadPoolExecutor
 
-    names = ["bm25_blocks", "bm25_blocks_batch", "bm25_blended_rank"]
+    names = ["bm25_blocks", "bm25_blocks_batch", "bm25_blended_rank",
+             "bm25_blocks_incremental"]
     entry_mod._BLOCKS_INDEX_CACHE.clear()
+    entry_mod._INCR_INDEX_CACHE.clear()
 
     def run(name):
         df = _QUERIES[name](spark, SF)
         return sorted(map(tuple, df.collect()))
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
+    with ThreadPoolExecutor(max_workers=4) as ex:
         concurrent = dict(zip(names, ex.map(run, names)))
     sequential = {n: run(n) for n in names}
     for n in names:
         assert concurrent[n] == sequential[n], n
     assert len(entry_mod._BLOCKS_INDEX_CACHE) == 1  # built once, reused
+    assert len(entry_mod._INCR_INDEX_CACHE) == 1
 
 
 def test_entry_smoke(spark):
