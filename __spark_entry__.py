@@ -797,39 +797,49 @@ def q_incremental_postings(spark, sf_dir):
 
 import threading as _threading
 
-_BLOCKS_INDEX_CACHE: dict[str, str] = {}
+_BLOCKS_INDEX_CACHE: dict[str, object] = {}  # sf_dir -> BM25Index
 # created at import time: lazy creation would itself race (two threads
 # each minting their own lock and both entering the build)
 _BLOCKS_INDEX_LOCK = _threading.Lock()
 
 
+def _docs_as_pages(docs):
+    """documents rows → the synthetic crawl-page shape shared by every
+    scratch block index (the url pattern is what _orig_doc_id's regex
+    maps back to the table's doc_ids — keep them in sync HERE only)."""
+    return docs.select(
+        F.format_string("https://d%08d.example/p",
+                        F.col("doc_id")).alias("url"),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+         .cast("binary").alias("html"),
+        F.lit("en").alias("lang"))
+
+
 def _blocks_index(spark, sf_dir: str):
     """Build (once per process per sf_dir, thread-safe) a real packed block
-    index over the documents table and return a BM25Index reader. Shared by
-    the bm25_blocks / bm25_blocks_batch / bm25_blended_rank gate entries so
-    the harness doesn't pay the build twice."""
+    index over the documents table and return the memoized BM25Index
+    reader. Shared by the bm25_blocks / bm25_blocks_batch /
+    bm25_blended_rank gate entries so the harness pays neither the build
+    nor the reader construction (session + meta read + term-stats persist)
+    twice."""
     from search_engine_tr_spark.operators.query_bm25 import BM25Index
     from search_engine_tr_spark.plans.index_build import build_index
 
     with _BLOCKS_INDEX_LOCK:
-        out = _BLOCKS_INDEX_CACHE.get(sf_dir)
-        if out is None:
+        idx = _BLOCKS_INDEX_CACHE.get(sf_dir)
+        if idx is None:
             docs = _t(spark, sf_dir, "documents")
-            pages = docs.select(
-                F.format_string("https://d%08d.example/p",
-                                F.col("doc_id")).alias("url"),
-                F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
-                 .cast("binary").alias("html"),
-                F.lit("en").alias("lang"))
             out = _scratch_dir("graft_bm25_blocks_")
-            build_index(spark, pages, out, n_shards=8, term_buckets=16,
+            build_index(spark, _docs_as_pages(docs), out,
+                        n_shards=8, term_buckets=16,
                         collect_metrics=False, write_text=False,
                         write_meta=False, write_links=False)
-            _BLOCKS_INDEX_CACHE[sf_dir] = out
-    return BM25Index(spark, out)
+            idx = BM25Index(spark, out)
+            _BLOCKS_INDEX_CACHE[sf_dir] = idx
+    return idx
 
 
-_INCR_INDEX_CACHE: dict[str, str] = {}
+_INCR_INDEX_CACHE: dict[str, object] = {}  # sf_dir -> BM25Index
 
 
 def _blocks_index_incremental(spark, sf_dir: str):
@@ -846,26 +856,21 @@ def _blocks_index_incremental(spark, sf_dir: str):
         incremental_index_update
 
     with _BLOCKS_INDEX_LOCK:
-        out = _INCR_INDEX_CACHE.get(sf_dir)
-        if out is None:
+        idx = _INCR_INDEX_CACHE.get(sf_dir)
+        if idx is None:
             docs = _t(spark, sf_dir, "documents")
-            pages = docs.select(
-                F.format_string("https://d%08d.example/p",
-                                F.col("doc_id")).alias("url"),
-                F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
-                 .cast("binary").alias("html"),
-                F.lit("en").alias("lang"),
-                (F.col("doc_id") % 2).alias("_par"))
+            pages = _docs_as_pages(docs)
+            even = _docs_as_pages(docs.filter(F.col("doc_id") % 2 == 0))
             out = _scratch_dir("graft_bm25_incr_")
-            build_index(spark, pages.filter(F.col("_par") == 0).drop("_par"),
-                        out, n_shards=8, term_buckets=16,
+            build_index(spark, even, out, n_shards=8, term_buckets=16,
                         collect_metrics=False, write_text=False,
                         write_meta=False, write_links=False)
-            m = incremental_index_update(spark, pages.drop("_par"), out,
+            m = incremental_index_update(spark, pages, out,
                                          refresh_derived=True)
             assert m["new_docs"] > 0, "incremental half was empty"
-            _INCR_INDEX_CACHE[sf_dir] = out
-    return BM25Index(spark, out)
+            idx = BM25Index(spark, out)
+            _INCR_INDEX_CACHE[sf_dir] = idx
+    return idx
 
 
 def _orig_doc_id(url_col):
@@ -959,6 +964,9 @@ def q_bm25_blended_rank(spark, sf_dir):
                     (_orig_doc_id(F.col("url")) % 7).cast("double")
                     .alias("score"))
      .write.mode("overwrite").parquet(idx.paths.domain_scores))
+    # the reader instance is memoized now: drop any domain_scores frame it
+    # captured over the files this overwrite just replaced
+    idx._domain_scores = None
     top = idx.search_blended(" ".join(_BM25_TERMS), k=50, alpha=0.1,
                              candidates=1000)
     return (top.withColumn("doc_id0", _orig_doc_id(F.col("url")))
@@ -1255,10 +1263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "sessionized_counts": q_sessionized_counts,
         "session_windows": q_session_windows,
-        "normalizers": q_normalizers,
-        "robust_scale": q_robust_scale,
         # ---- position 50 boundary: rows below are green in BOTH r2 and
         # r3 and rotate out of the driver sample this round ----
+        "normalizers": q_normalizers,
+        "robust_scale": q_robust_scale,
         "scan_project": q_scan_project,
         "eq_filter": q_eq_filter,
         "prefix_filter": q_prefix_filter,

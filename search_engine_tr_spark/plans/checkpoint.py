@@ -166,10 +166,16 @@ def build_index_resumable(spark: SparkSession, pages: DataFrame, out_dir: str,
             .parquet(paths.term_stats)
         blocks = build_blocks(postings, doclens, stats.avgdl, n_shards, term_buckets)
         blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(paths.blocks)
+        dm = spark.read.parquet(paths.doc_map)
+        _dm_max = dm.agg(F.max("doc_id")).collect()[0][0]
         meta = {
             "n_docs": stats.n_docs, "avgdl": stats.avgdl,
             "total_postings": stats.total_postings,
-            "n_pages_mapped": spark.read.parquet(paths.doc_map).count(),
+            "n_pages_mapped": dm.count(),
+            # keep the delta-refresh contract keys consistent with
+            # build_index/rebuild_derived, or the first incremental update
+            # on a resumable-built index degrades to a full rebuild
+            "derived_max_doc_id": -1 if _dm_max is None else int(_dm_max),
             "n_shards": n_shards, "term_buckets": term_buckets,
             "k1": 1.2, "b": 0.75,
         }

@@ -30,7 +30,17 @@ def local_path(path: str) -> str | None:
     if "://" not in path and not path.startswith("file:"):
         return path
     if path.startswith("file://"):
-        return path[len("file://"):] or "/"
+        rest = path[len("file://"):]
+        if rest.startswith("/"):  # file:///path — empty authority
+            return rest
+        # file://HOST/path: only a literal localhost authority is the
+        # driver's own filesystem; anything else goes to the Hadoop branch
+        # (returning the host as a relative path would silently resolve
+        # against the cwd)
+        host, _sep, p = rest.partition("/")
+        if host == "localhost":
+            return "/" + p
+        return None
     if path.startswith("file:"):
         return path[len("file:"):]
     return None

@@ -141,7 +141,13 @@ def incremental_index_update(spark: SparkSession, new_pages: DataFrame,
         # nothing uncommitted remains (any crashed attempt was rolled back
         # above, or its batch actually committed) — clear the marker
         fsio.delete(spark, intent)
-        return {"new_docs": 0}
+        out = {"new_docs": 0}
+        if refresh_derived:
+            # a replay can land here AFTER the batch committed but BEFORE
+            # its derived refresh completed — honoring refresh_derived
+            # heals that window (a no-op when nothing is pending)
+            out.update(refresh_derived_delta(spark, index_dir))
+        return out
     new_ids = (assign_doc_ids(fresh)
                .withColumn("doc_id", F.col("doc_id") + F.lit(base + 1))
                .localCheckpoint())
@@ -281,16 +287,23 @@ def refresh_derived_delta(spark: SparkSession, index_dir: str) -> dict:
         for fp in _orphan_doc_files(spark, paths.term_stats, dmax,
                                     col="gen"):
             fsio.delete(spark, fp)
-    delta = (spark.read.parquet(paths.postings)
-             .filter(F.col("doc_id") > dmax))
-    doclens = doc_lengths(delta).localCheckpoint()
-    row = doclens.agg(F.count("*").alias("n"), F.sum("dl").alias("tot"),
-                      F.max("doc_id").alias("mx")).collect()[0]
-    n_new = int(row["n"] or 0)
     doc_map = spark.read.parquet(paths.doc_map)
     n_pages_mapped = doc_map.count()
     _dm_max = doc_map.agg(F.max("doc_id")).collect()[0][0]
     new_high = max(dmax, -1 if _dm_max is None else int(_dm_max))
+    # fold ONLY COMMITTED postings: ids in (dmax, doc_map max]. A crashed
+    # ingest's orphan rows sit strictly ABOVE doc_map max (its doc_map
+    # commit never happened) — without the upper bound, a direct
+    # refresh_derived_delta call while an ingest intent is live would
+    # absorb uncommitted docs that the ingest replay then rolls back and
+    # re-appends, double-counting df and duplicating their blocks
+    delta = (spark.read.parquet(paths.postings)
+             .filter((F.col("doc_id") > dmax)
+                     & (F.col("doc_id") <= F.lit(new_high))))
+    doclens = doc_lengths(delta).localCheckpoint()
+    row = doclens.agg(F.count("*").alias("n"), F.sum("dl").alias("tot"),
+                      F.max("doc_id").alias("mx")).collect()[0]
+    n_new = int(row["n"] or 0)
     if n_new == 0:
         # only zero-token pages arrived (doc_map moved, postings didn't):
         # advance the sentinel + high-water mark so drains converge

@@ -278,3 +278,49 @@ def test_crash_in_delta_refresh_no_double_count(spark, tmp_path, monkeypatch):
     build_index(spark, spark.createDataFrame(pages, schema=pages_schema()),
                 fresh_ix, n_shards=4, term_buckets=8)
     assert _results(spark, ix, QUERIES) == _results(spark, fresh_ix, QUERIES)
+
+
+def test_delta_refresh_ignores_uncommitted_postings(spark, tmp_path,
+                                                    monkeypatch):
+    """A DIRECT refresh_derived_delta call while a crashed ingest's intent
+    is still live must not fold the crashed batch's orphan postings (ids
+    above doc_map max): the ingest replay will roll those files back and
+    re-append them, so folding them early would double-count df and
+    duplicate blocks (round-4 self-review finding)."""
+    import pyspark.sql.classic.dataframe as D
+    import pytest
+
+    from search_engine_tr_spark.streaming.incremental import (
+        incremental_index_update, refresh_derived_delta)
+
+    pages = gen_pages(50, seed=41)
+    ix = str(tmp_path / "ix")
+    build_index(spark, spark.createDataFrame(pages[:40],
+                                             schema=pages_schema()),
+                ix, n_shards=4, term_buckets=8)
+    batch = spark.createDataFrame(pages[40:], schema=pages_schema())
+
+    orig_coalesce = D.DataFrame.coalesce
+
+    def boom(self, n):
+        raise RuntimeError("injected crash before doc_map commit")
+
+    monkeypatch.setattr(D.DataFrame, "coalesce", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_index_update(spark, batch, ix)
+    monkeypatch.setattr(D.DataFrame, "coalesce", orig_coalesce)
+
+    # orphan postings exist above doc_map max, intent is live
+    assert os.path.exists(os.path.join(ix, "_ingest_intent.json"))
+    m = refresh_derived_delta(spark, ix)
+    assert m["delta_docs"] == 0  # nothing committed -> nothing folded
+    from search_engine_tr_spark.plans.index_build import load_meta
+    assert load_meta(ix, spark)["n_docs"] == 40
+
+    # the ingest replay then heals and the final index is exact
+    m2 = incremental_index_update(spark, batch, ix, refresh_derived=True)
+    assert m2["new_docs"] == 10 and m2["delta_docs"] == 10
+    fresh_ix = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(pages, schema=pages_schema()),
+                fresh_ix, n_shards=4, term_buckets=8)
+    assert _results(spark, ix, QUERIES) == _results(spark, fresh_ix, QUERIES)
