@@ -394,16 +394,19 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     where ``comp`` is the component's MINIMUM member id (so it doubles as
     the canonical-doc choice). Every id appearing in any pair gets a row.
 
-    Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors; converges in
-    O(graph diameter) rounds with one join + one aggregate per round (the
-    same loop shape as the PageRank operator — labels are
-    localCheckpoint'd per round to keep lineage flat). Near-dup graphs
-    are overwhelmingly tiny cliques/chains, so the diameter is small in
-    practice; for adversarial long-path graphs the two-phase
-    large-star/small-star variant (O(log n) rounds) is the drop-in
-    upgrade. Raises if ``max_iter`` rounds don't converge — never returns
-    a partially-propagated labeling silently.
+    Iterative min-label propagation WITH pointer jumping: each round every
+    node takes the minimum label among itself and its neighbors, then
+    chases one label indirection (comp := comp-of-comp). Plain propagation
+    converges in O(diameter) rounds — an adversarial near-dup CHAIN (long
+    template drift) would need thousands; the jump step halves label paths
+    so convergence is O(log n) rounds. Invariant that keeps the jump
+    sound: a node's label is always the id of SOME node in its own
+    component (initially itself; neighbor-min and label-of-label both
+    stay inside the component), so labels only ever decrease toward the
+    component minimum. Two joins + one aggregate per round, labels
+    localCheckpoint'd to keep lineage flat (the PageRank loop shape).
+    Raises if ``max_iter`` rounds don't converge — never returns a
+    partially-propagated labeling silently.
     """
     edges = pairs.select(F.col(id_a).cast("long").alias("src"),
                          F.col(id_b).cast("long").alias("dst"))
@@ -416,8 +419,16 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         nb = (sym.join(labels.withColumnRenamed("id", "dst"), "dst")
               .groupBy(F.col("src").alias("id"))
               .agg(F.min("comp").alias("_nbmin")))
-        new_labels = (labels.join(nb, "id", "left")
-                      .select("id", F.least("comp", "_nbmin").alias("comp"))
+        cand = (labels.join(nb, "id", "left")
+                .select("id", F.least("comp", "_nbmin").alias("comp")))
+        # pointer jumping: comp := min(comp, cand[comp]) — cand contains a
+        # row for every node id, and comp is always a node id, so the
+        # self-join resolves for every non-root label
+        c2 = cand.select(F.col("id").alias("_cid"),
+                         F.col("comp").alias("_ccomp"))
+        new_labels = (cand.join(c2, cand["comp"] == c2["_cid"], "left")
+                      .select("id",
+                              F.least("comp", "_ccomp").alias("comp"))
                       .localCheckpoint())
         changed = (new_labels.withColumnRenamed("comp", "_new")
                    .join(labels, "id")

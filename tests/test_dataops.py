@@ -451,7 +451,21 @@ def test_dup_components_raises_on_non_convergence(spark):
 
     from search_engine_tr_spark.operators.dedup import dup_components
 
-    chain = spark.createDataFrame([(i, i + 1) for i in range(0, 12)],
+    # 61-node path: pointer jumping needs ~log rounds, so 2 can't converge
+    chain = spark.createDataFrame([(i, i + 1) for i in range(0, 60)],
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_components(chain, max_iter=2)
+
+
+def test_dup_components_long_chain_converges_fast(spark):
+    """A 201-node path (diameter 200) must converge well within the
+    default round budget — the pointer-jumping guarantee; plain
+    min-label propagation would need 200 rounds."""
+    from search_engine_tr_spark.operators.dedup import dup_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(0, 200)],
+                                  "id_a long, id_b long")
+    got = dup_components(chain, max_iter=12).collect()
+    assert {r["comp"] for r in got} == {0}
+    assert len(got) == 201
