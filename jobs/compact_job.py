@@ -10,6 +10,12 @@ Usage:
 
 Tables partitioned on disk (blocks, term_stats by term_bucket) keep their
 layout; everything else is rewritten layout-only.
+
+``--canonicalize`` first runs rebuild_derived: the delta term_stats rows
+and multi-generation blocks that refresh_derived_delta appends are folded
+back into ONE generation (single df row per term, one avgdl for every
+block bound) before the layout compaction — the periodic maintenance pass
+of the incremental scheme.
 """
 
 from __future__ import annotations
@@ -28,6 +34,9 @@ def main() -> None:
     ap.add_argument("index_dir")
     ap.add_argument("--tables", nargs="*", default=None)
     ap.add_argument("--target-mb", type=int, default=128)
+    ap.add_argument("--canonicalize", action="store_true",
+                    help="rebuild_derived first: fold delta term_stats/"
+                         "blocks generations back into one")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -35,10 +44,15 @@ def main() -> None:
     spark = SparkSession.builder.appName("setr-compact").getOrCreate()
     from search_engine_tr_spark.plans.compact import compact_parquet
 
+    report = {}
+    if args.canonicalize:
+        from search_engine_tr_spark.streaming.incremental import \
+            rebuild_derived
+        report["canonicalize"] = rebuild_derived(spark, args.index_dir)
+
     # `is None`, not falsiness: an explicitly empty --tables means
     # "compact nothing", not "compact everything"
     tables = _DEFAULT_TABLES if args.tables is None else args.tables
-    report = {}
     for t in tables:
         path = os.path.join(args.index_dir, t)
         if not os.path.isdir(path):
