@@ -89,3 +89,58 @@ def test_stream_ingest_split_invariance(spark, tmp_path, seed, cut):
         assert got == want
         checked += len(want)
     assert checked > 0  # non-vacuous: at least one query matched docs
+
+
+@pytest.mark.skipif(os.environ.get("SETR_FUZZ") != "1",
+                    reason="set SETR_FUZZ=1 for the slow sweeps")
+def test_gate_queries_under_adversarial_session_timezone():
+    """The driver's Spark session timezone is not ours to set. Run the
+    time-touching gate entries (plus the production BM25 paths) under a
+    BARE session pinned to Pacific/Kiritimati (UTC+14) in a subprocess —
+    a fresh in-process session would silently reuse the conftest one —
+    and compare against the DuckDB oracles. Guards the timestampdiff /
+    F.window / NTZ conventions the entries rely on."""
+    import subprocess
+    import sys
+
+    code = r'''
+import sys, math, os
+sys.path.insert(0, "/root/repo"); os.environ["PYTHONPATH"]="/root/repo"
+import duckdb
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone", "Pacific/Kiritimati")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as e
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+def norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else f"{v:.9g}"
+    return str(v)
+Q, O = e.queries(), e.oracle_sql()
+names = ["attribution_join", "stream_dedup", "asof_join", "range_join",
+         "tumbling_window", "hopping_window", "session_windows",
+         "sessionized_counts", "moving_avg", "lag_window",
+         "bm25_blocks", "bm25_blocks_incremental"]
+bad = []
+for n in names:
+    df = Q[n](spark, SF); rows = df.collect(); cols = df.columns
+    res = con.execute(O[n]); ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    oidx = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    g = sorted(tuple(norm(r[cols[i]]) for i in idx) for r in rows)
+    w = sorted(tuple(norm(r[i]) for i in oidx) for r in orows)
+    if sorted(cols) != sorted(ocols) or g != w:
+        bad.append(n)
+print("TZBAD:" + ",".join(bad))
+'''
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=540)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("TZBAD:")]
+    assert line and line[0] == "TZBAD:", (line, r.stdout[-500:])
