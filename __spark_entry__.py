@@ -1176,6 +1176,19 @@ def q_image_features(spark, sf_dir):
                     F.round(F.col("frac").cast("double"), 6).alias("frac")))
 
 
+def q_near_dedup(spark, sf_dir):
+    """The end-to-end near-dup KEEP-LIST: drop every doc in a jaccard
+    component except its minimum-id member (operators.dedup.near_dedup =
+    dup_components + anti-join). Survivors of the bounded documents
+    slice; oracle composes the components closure with a NOT-IN."""
+    from search_engine_tr_spark.operators.dedup import (near_dedup,
+                                                        token_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = token_jaccard_pairs(docs, threshold=0.8)
+    return near_dedup(docs, pairs).select("doc_id", "lang", "n_chars")
+
+
 def q_dup_components(spark, sf_dir):
     """Transitive near-dup clustering — the keep-list step a training-data
     dedup pipeline needs after any pair generator: connected components of
@@ -1213,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "image_features": q_image_features,
         "dup_components": q_dup_components,
+        "near_dedup": q_near_dedup,
         # round-4: the ingest pipeline (commit protocol + delta refresh)
         # under the value gate
         "bm25_blocks_incremental": q_bm25_blocks_incremental,
@@ -1262,9 +1276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where": q_delete_where,
         "tumbling_window": q_tumbling_window,
         "sessionized_counts": q_sessionized_counts,
+        # ---- position 50 boundary: rows below already have driver-green
+        # rounds behind them and rotate out of the sample this round ----
         "session_windows": q_session_windows,
-        # ---- position 50 boundary: rows below are green in BOTH r2 and
-        # r3 and rotate out of the driver sample this round ----
         "normalizers": q_normalizers,
         "robust_scale": q_robust_scale,
         "scan_project": q_scan_project,
@@ -1689,6 +1703,36 @@ inter AS (
 )
 SELECT src AS id, least(src, min(dst))::BIGINT AS comp
 FROM reach GROUP BY src""",
+        "near_dedup": r"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS token
+  FROM documents WHERE doc_id < 300
+), toks2 AS (SELECT id, token FROM toks WHERE token <> ''),
+sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM toks2 a JOIN toks2 b USING (token)
+  WHERE a.id < b.id GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.8
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+), comp AS (
+  SELECT src AS id, least(src, min(dst)) AS comp FROM reach GROUP BY src
+)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id < 300
+  AND doc_id NOT IN (SELECT id FROM comp WHERE comp <> id)""",
         "phrase_search": f"""
 WITH lst AS (
   SELECT doc_id,
