@@ -35,8 +35,23 @@ _RESULT_SCHEMA = T.StructType([
 ])
 
 
+_TSTATS_SCHEMA = ("term string, df bigint, gen bigint, term_bucket int")
+
+
 class BM25Index:
-    """Reader over an index directory produced by plans.index_build."""
+    """Reader over an index directory produced by plans.index_build.
+
+    **Snapshot semantics**: a BM25Index is a frozen CONSISTENT snapshot at
+    the committed derived generation. meta.json (n_docs/avgdl/
+    derived_max_doc_id) is read once at construction, and both derived
+    scans are bounded to that generation — blocks to ``max_doc_id <=
+    derived_max_doc_id`` and delta term_stats rows to ``gen <=
+    derived_max_doc_id`` (pushed-down row-group filters, no extra job). A
+    reader constructed MID-refresh (between the delta appends and the meta
+    commit) therefore serves exactly the pre-refresh index rather than the
+    torn state the appends alone would expose (new blocks scored under old
+    n_docs/avgdl and a wrong avgdl0 rescale; ADVICE r5). Construct a new
+    reader to observe a later generation."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  tstats_mode: str = "memory"):
@@ -66,17 +81,26 @@ class BM25Index:
         # is re-read, and cross-session joins with caller frames work.
         self._qspark = spark.newSession()
         self._qspark.conf.set("spark.sql.adaptive.enabled", "false")
+        # the committed snapshot bound (see class docstring); None for a
+        # pre-delta meta, where no uncommitted generation can exist
+        self._committed_max = (int(self.meta["derived_max_doc_id"])
+                               if "derived_max_doc_id" in self.meta else None)
         # build the readers once: the partitioned-dir file listing and
         # parquet footers are amortized across queries
         self.tstats_mode = tstats_mode
         if tstats_mode == "memory":
-            self._tstats = self._qspark.read.parquet(
-                self.paths.term_stats).persist()
+            self._tstats = self._read_term_stats().persist()
         elif tstats_mode == "pruned":
             self._tstats = None
         else:
             raise ValueError(f"unknown tstats_mode {tstats_mode!r}")
         blocks = self._qspark.read.parquet(self.paths.blocks)
+        if self._committed_max is not None:
+            # excludes exactly an in-flight refresh's delta blocks (every
+            # committed block's doc range is <= the committed high-water
+            # mark); row-group stats prune, so steady state cost is zero
+            blocks = blocks.filter(
+                F.col("max_doc_id") <= F.lit(self._committed_max))
         if "avgdl0" in blocks.columns:
             # blocks appended incrementally (refresh_derived_delta) were
             # packed under the avgdl of THEIR refresh; the corpus avgdl has
@@ -100,6 +124,19 @@ class BM25Index:
         # (n_docs/avgdl frozen at construction), so term stats are immutable
         # for its lifetime; repeated terms skip the lookup job entirely
         self._term_memo: dict[str, tuple[int, int] | None] = {}
+
+    def _read_term_stats(self) -> DataFrame:
+        """term_stats scan bounded to the committed generation. The
+        explicit schema forces the optional ``gen`` column (absent in
+        base-rebuild files, present in delta files) to resolve as null
+        rather than depending on which footer Spark samples."""
+        scan = (self._qspark.read.schema(_TSTATS_SCHEMA)
+                .parquet(self.paths.term_stats))
+        if self._committed_max is not None:
+            scan = scan.filter(
+                F.col("gen").isNull()
+                | (F.col("gen") <= F.lit(self._committed_max)))
+        return scan
 
     # -- query plumbing ----------------------------------------------------
     def query_terms(self, raw_query: str) -> list[str]:
@@ -146,9 +183,8 @@ class BM25Index:
                 scan = self._tstats
             else:
                 # pruned mode: directory-level pruning to the query's buckets
-                scan = (self._qspark.read.parquet(self.paths.term_stats)
-                        .filter(F.col("term_bucket")
-                                .isin(self._buckets_of(missing))))
+                scan = self._read_term_stats().filter(
+                    F.col("term_bucket").isin(self._buckets_of(missing)))
             rows = self._filter_terms(scan, missing).collect()
             # SUM df across rows: an incrementally-refreshed index holds
             # one base row plus one row per delta refresh for a term (same

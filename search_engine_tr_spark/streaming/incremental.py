@@ -83,6 +83,25 @@ def _orphan_doc_files(spark: SparkSession, table_dir: str, base: int,
     return [r["f"] for r in rows]
 
 
+def _orphan_url_files(spark: SparkSession, table_dir: str,
+                      doc_map: DataFrame, url_col: str = "url") -> list[str]:
+    """Files under a url-keyed companion table (pages_text / links) whose
+    rows' urls are absent from doc_map.
+
+    Same file-granularity argument as ``_orphan_doc_files``: every append
+    writes fresh files, and a batch's companion append happens only for
+    urls that anti-joined AGAINST doc_map at append time — so a file from
+    a COMMITTED batch has all its urls in doc_map (its doc_map commit
+    landed), while a file from the one crashed attempt has none. One
+    column-pruned scan + anti-join, recovery-only cost."""
+    rows = (spark.read.parquet(table_dir)
+            .select(F.input_file_name().alias("f"),
+                    F.col(url_col).alias("url"))
+            .join(doc_map.select("url"), "url", "left_anti")
+            .select("f").distinct().collect())
+    return [r["f"] for r in rows]
+
+
 def incremental_index_update(spark: SparkSession, new_pages: DataFrame,
                              index_dir: str,
                              refresh_derived: bool = False) -> dict:
@@ -120,16 +139,30 @@ def incremental_index_update(spark: SparkSession, new_pages: DataFrame,
     # as missing and restart ids at 0, colliding with the existing doc
     _max_id = doc_map.agg(F.max("doc_id")).collect()[0][0]
     base = -1 if _max_id is None else int(_max_id)
-    guard_companions = False
     n_rolled_back = 0
     if fsio.exists(spark, intent):
         # a prior attempt crashed between its first append and its doc_map
-        # commit: roll back its orphan rows before appending anything
+        # commit: roll back its orphan rows before appending anything.
+        # doc_id-keyed tables roll back by footer stats; the url-keyed
+        # companions (pages_text / links) roll back by anti-joining their
+        # urls against doc_map — file-exact for the same one-crashed-append
+        # reason, and correct even when the replay carries a DIFFERENT
+        # batch than the crashed one (a batch-scoped anti-join guard here
+        # would leave the crashed urls orphaned until re-ingested, and
+        # then duplicate them; ADVICE r5)
         for tdir in (paths.postings, paths.doc_meta):
             for fp in _orphan_doc_files(spark, tdir, base):
                 fsio.delete(spark, fp)
                 n_rolled_back += 1
-        guard_companions = True
+        if fsio.exists(spark, paths.pages_text):
+            for fp in _orphan_url_files(spark, paths.pages_text, doc_map):
+                fsio.delete(spark, fp)
+                n_rolled_back += 1
+        if fsio.exists(spark, paths.links):
+            for fp in _orphan_url_files(spark, paths.links, doc_map,
+                                        url_col="source_url"):
+                fsio.delete(spark, fp)
+                n_rolled_back += 1
     # localCheckpoint (not cache): appending to doc_map below invalidates
     # any cached plan that READS doc_map (recacheByPath), which would make
     # a cached anti-join silently recompute as empty — checkpointing severs
@@ -157,27 +190,17 @@ def incremental_index_update(spark: SparkSession, new_pages: DataFrame,
     n_postings = postings.count()
     postings.write.mode("append").parquet(paths.postings)
     if fsio.exists(spark, paths.pages_text):
+        # crashed companion rows were rolled back file-granularly above,
+        # so plain appends are exact — no per-batch anti-join guard needed
         from ..functions.text import extract_text_udf
-        rows = fresh.select("url",
-                            extract_text_udf(F.col("html")).alias("text"),
-                            "lang")
-        if guard_companions:
-            rows = rows.join(spark.read.parquet(paths.pages_text)
-                             .select("url"), "url", "left_anti")
-        rows.write.mode("append").parquet(paths.pages_text)
+        fresh.select("url", extract_text_udf(F.col("html")).alias("text"),
+                     "lang").write.mode("append").parquet(paths.pages_text)
     if fsio.exists(spark, paths.doc_meta):
-        # crashed doc_meta rows were rolled back file-granularly above
-        # (doc_meta is doc_id-keyed), so no anti-join guard is needed
         from ..plans.index_build import materialize_doc_meta
         materialize_doc_meta(fresh, new_ids, paths.doc_meta, mode="append")
     if fsio.exists(spark, paths.links):
         from ..plans.index_build import materialize_links
-        link_pages = fresh
-        if guard_companions:
-            done = (spark.read.parquet(paths.links)
-                    .select(F.col("source_url").alias("url")).distinct())
-            link_pages = fresh.join(done, "url", "left_anti")
-        materialize_links(link_pages, paths.links, mode="append")
+        materialize_links(fresh, paths.links, mode="append")
     # COMMIT: one coalesced doc_map file — the append becomes visible as a
     # single atomic rename, and with it the whole batch
     new_ids.coalesce(1).write.mode("append").parquet(paths.doc_map)
@@ -200,7 +223,15 @@ def rebuild_derived(spark: SparkSession, index_dir: str,
     come from doc_map, not from postings-derived ``n_docs``: a page whose
     extracted text yields zero tokens is in doc_map but never in postings,
     so comparing doc_map.count() to n_docs would mismatch forever and
-    trigger a full rebuild on every drain (ADVICE r4)."""
+    trigger a full rebuild on every drain (ADVICE r4).
+
+    Folds ONLY COMMITTED postings (``doc_id <= doc_map max``), mirroring
+    ``refresh_derived_delta``'s bound: a crashed ingest's orphan rows sit
+    strictly above doc_map max, and folding them here would make ghost
+    docs (no doc_map row) searchable AND double-count them after the
+    ingest replay rolls back + re-appends the same ids (ADVICE r5). The
+    surviving ``_ingest_intent.json`` stays live so the replay still
+    performs its file-exact rollback."""
     from ..plans.index_build import build_blocks
     from ..plans.stats import corpus_stats, doc_lengths, term_stats
 
@@ -208,7 +239,11 @@ def rebuild_derived(spark: SparkSession, index_dir: str,
     meta = fsio.read_json(spark, paths.meta)
     n_shards = n_shards or int(meta.get("n_shards", 32))
     term_buckets = term_buckets or int(meta.get("term_buckets", 64))
-    postings = spark.read.parquet(paths.postings)
+    doc_map = spark.read.parquet(paths.doc_map)
+    _dm_max = doc_map.agg(F.max("doc_id")).collect()[0][0]
+    committed_max = -1 if _dm_max is None else int(_dm_max)
+    postings = (spark.read.parquet(paths.postings)
+                .filter(F.col("doc_id") <= F.lit(committed_max)))
     doclens = doc_lengths(postings).cache()
     stats = corpus_stats(doclens)
     ts = (term_stats(postings)
@@ -219,13 +254,11 @@ def rebuild_derived(spark: SparkSession, index_dir: str,
     blocks = build_blocks(postings, doclens, stats.avgdl, n_shards, term_buckets)
     blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(paths.blocks)
     doclens.unpersist()
-    doc_map = spark.read.parquet(paths.doc_map)
     n_pages_mapped = doc_map.count()
-    _dm_max = doc_map.agg(F.max("doc_id")).collect()[0][0]
     meta.update({"n_docs": stats.n_docs, "avgdl": stats.avgdl,
                  "total_postings": stats.total_postings,
                  "n_pages_mapped": n_pages_mapped,
-                 "derived_max_doc_id": -1 if _dm_max is None else int(_dm_max),
+                 "derived_max_doc_id": committed_max,
                  "n_shards": n_shards, "term_buckets": term_buckets})
     fsio.write_json(spark, paths.meta, meta)
     # a full rebuild canonicalizes everything a crashed delta refresh

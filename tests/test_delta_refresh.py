@@ -107,3 +107,56 @@ def test_rebuild_derived_canonicalizes_deltas(spark, tmp_path):
             .select("avgdl0").distinct().collect()}
     assert gens == {meta["avgdl"]}
     assert _results(spark, ix, QUERIES) == before
+
+
+def test_reader_mid_refresh_is_consistent_snapshot(spark, tmp_path,
+                                                   monkeypatch):
+    """ADVICE r5: a BM25Index constructed BETWEEN a delta refresh's
+    appends and its meta commit must not serve a torn state (new blocks
+    visible, old n_docs/avgdl for idf and the avgdl0 rescale). The
+    committed-generation bound makes such a reader exactly equal to a
+    pre-refresh reader."""
+    import pytest
+
+    from search_engine_tr_spark.streaming import incremental as inc
+
+    pages = gen_pages(60, seed=53)
+    ix = str(tmp_path / "ix")
+    build_index(spark, spark.createDataFrame(pages[:40],
+                                             schema=pages_schema()),
+                ix, n_shards=4, term_buckets=8)
+    before = _results(spark, ix, QUERIES)
+
+    real_write_json = inc.fsio.write_json
+
+    def failing(spark_, path, obj):
+        if path.endswith("meta.json"):
+            raise RuntimeError("injected crash before meta commit")
+        return real_write_json(spark_, path, obj)
+
+    monkeypatch.setattr(inc.fsio, "write_json", failing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        inc.incremental_index_update(
+            spark, spark.createDataFrame(pages[40:], schema=pages_schema()),
+            ix, refresh_derived=True)
+    monkeypatch.setattr(inc.fsio, "write_json", real_write_json)
+
+    # torn on disk: delta blocks + term_stats appended, meta not advanced
+    blk_max = spark.read.parquet(os.path.join(ix, "blocks")) \
+        .agg({"max_doc_id": "max"}).collect()[0][0]
+    assert blk_max > load_meta(ix, spark)["derived_max_doc_id"]
+
+    # a reader built NOW equals the pre-refresh snapshot, both modes
+    assert _results(spark, ix, QUERIES) == before
+    mid = BM25Index(spark, ix, tstats_mode="pruned")
+    got = {q: [(r["url"], round(r["score"], 6))
+               for r in mid.search_with_urls(q, k=50).collect()]
+           for q in QUERIES}
+    assert got == before
+
+    # after the healed refresh a NEW reader sees the full corpus
+    inc.refresh_derived_delta(spark, ix)
+    fresh = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(pages, schema=pages_schema()),
+                fresh, n_shards=4, term_buckets=8)
+    assert _results(spark, ix, QUERIES) == _results(spark, fresh, QUERIES)
