@@ -1204,6 +1204,20 @@ def q_dup_components(spark, sf_dir):
     return dup_components(pairs).select("id", "comp")
 
 
+def q_dup_components_star(spark, sf_dir):
+    """Same clustering contract as dup_components, computed by alternating
+    large-star/small-star edge contraction (operators.dedup.
+    dup_components_star) — the variant whose per-round work SHRINKS as
+    components collapse, for adversarial graphs with huge near-dup
+    clusters. Oracle: the same recursive-CTE reachability closure."""
+    from search_engine_tr_spark.operators.dedup import (dup_components_star,
+                                                        token_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = token_jaccard_pairs(docs, threshold=0.8)
+    return dup_components_star(pairs).select("id", "comp")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1255,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "image_features": q_image_features,
         "dup_components": q_dup_components,
+        "dup_components_star": q_dup_components_star,  # new r5
         "near_dedup": q_near_dedup,
         "bm25_blocks_incremental": q_bm25_blocks_incremental,
         # production query paths — keep in-sample every round
@@ -1274,9 +1289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df": q_term_df,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
-        "token_jaccard_capped": q_token_jaccard_capped,
         # ---- position 50 boundary: rows below have a fresh green row in
         # CORRECTNESS_r04 and their code is untouched this round ----
+        "token_jaccard_capped": q_token_jaccard_capped,
         "exact_dup_groups": q_exact_dup_groups,
         "token_jaccard": q_token_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1676,6 +1691,35 @@ ORDER BY score DESC, s.doc_id LIMIT 10""",
         # deliberately the SAME oracle as bm25_blocks
         "bm25_blocks_incremental": _bm25_sql(),
         "dup_components": r"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS token
+  FROM documents WHERE doc_id < 300
+), toks2 AS (SELECT id, token FROM toks WHERE token <> ''),
+sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM toks2 a JOIN toks2 b USING (token)
+  WHERE a.id < b.id GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.8
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS id, least(src, min(dst))::BIGINT AS comp
+FROM reach GROUP BY src""",
+        # deliberately the SAME closure oracle as dup_components: the star
+        # variant must produce the identical labeling
+        "dup_components_star": r"""
 WITH RECURSIVE toks AS (
   SELECT DISTINCT doc_id AS id,
          unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS token

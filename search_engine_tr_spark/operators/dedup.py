@@ -442,6 +442,113 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         "large-star/small-star variant)")
 
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.union(edges.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-LARGER neighbors to
+    the minimum of its closed neighborhood. Shrinks tall trees toward
+    stars; never disconnects a component (the emitted (v, m) path stays
+    inside it)."""
+    sym = _symmetrize(edges)
+    mins = (sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+            .select("src", F.least(F.col("_mn"), F.col("src")).alias("_m")))
+    return (sym.filter(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient each edge (larger, smaller); every node connects
+    its smaller neighbors — and itself — to their minimum. Flattens the
+    two-level trees large-star leaves behind."""
+    oriented = (edges
+                .select(F.greatest("src", "dst").alias("src"),
+                        F.least("src", "dst").alias("dst"))
+                .filter(F.col("src") != F.col("dst")))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("_mn"))
+    return (oriented.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("_mn").alias("dst"))
+            .union(mins.select("src", F.col("_mn").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def dup_components_star(pairs: DataFrame, id_a: str = "id_a",
+                        id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contractions (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") → (id, comp), same contract as ``dup_components``.
+
+    The adversarial-graph variant: ``dup_components`` (label propagation +
+    pointer jumping) joins the FULL edge set every round, so a huge
+    near-dup component costs O(E log n) total join work. Star contraction
+    rewrites the edge set itself — each round's output is the next round's
+    input, and edges collapse toward one star edge per non-root node as
+    components contract — so per-round work SHRINKS as clustering
+    progresses. Same worst-case O(log n) round count, strictly less data
+    motion on graphs with large components (exactly the pathological
+    dedup corpora: boilerplate farms, mirror sites).
+
+    Convergence is detected by an (count, hash-sum) signature of the edge
+    set; the final labeling is then VALIDATED against the original pairs
+    (both endpoints of every input pair must share a component, every node
+    exactly one label) — a wrong or partial clustering raises rather than
+    returning silently."""
+    edges = (pairs.select(F.col(id_a).cast("long").alias("src"),
+                          F.col(id_b).cast("long").alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct().localCheckpoint())
+    nodes = (_symmetrize(edges).select(F.col("src").alias("id"))
+             .distinct().localCheckpoint())
+
+    def sig(e: DataFrame) -> tuple:
+        # decimal sum: long would overflow under ANSI mode on big sets
+        row = e.agg(F.count("*").alias("n"),
+                    F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))
+                    .alias("h")).collect()[0]
+        return (int(row["n"] or 0), row["h"])
+
+    cur, cur_sig = edges, sig(edges)
+    converged = False
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nxt_sig = sig(nxt)
+        if nxt_sig == cur_sig:
+            # w.h.p. the set is unchanged -> fixed point of both stars
+            converged = True
+            cur = nxt
+            break
+        cur, cur_sig = nxt, nxt_sig
+    if not converged:
+        raise RuntimeError(
+            f"dup_components_star did not converge in {max_iter} rounds")
+    star = cur  # (non-root, root) edges
+    labels = (nodes.join(star.select(F.col("src").alias("id"),
+                                     F.col("dst").alias("comp")),
+                         "id", "left")
+              .select("id", F.coalesce("comp", "id").alias("comp"))
+              .localCheckpoint())
+    # hard validation: exactly one label per node, and both endpoints of
+    # every ORIGINAL pair agree (guards the probabilistic signature exit)
+    if labels.count() != nodes.count():
+        raise RuntimeError("dup_components_star: non-star fixed point "
+                           "(a node carries multiple labels)")
+    la = labels.select(F.col("id").alias("src"), F.col("comp").alias("_ca"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("comp").alias("_cb"))
+    bad = (edges.join(la, "src").join(lb, "dst")
+           .filter(F.col("_ca") != F.col("_cb")).count())
+    if bad:
+        raise RuntimeError(
+            f"dup_components_star: {bad} input pairs split across "
+            "components (incomplete contraction)")
+    return labels
+
+
 def near_dedup(df: DataFrame, pairs: DataFrame,
                id_col: str = "doc_id") -> DataFrame:
     """Drop every near-duplicate except its component's minimum-id doc:

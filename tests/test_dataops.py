@@ -469,3 +469,90 @@ def test_dup_components_long_chain_converges_fast(spark):
     got = dup_components(chain, max_iter=12).collect()
     assert {r["comp"] for r in got} == {0}
     assert len(got) == 201
+
+
+def test_dup_components_star_vs_union_find(spark):
+    """Large-star/small-star contraction agrees with union-find on a mix
+    of chain + clique + pair + cross edge, and on a seeded random graph
+    (the adversarial-graph variant of dup_components; VERDICT r4 #2)."""
+    import random
+
+    from search_engine_tr_spark.operators.dedup import (dup_components,
+                                                        dup_components_star)
+
+    def uf(edges):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {(x, find(x)) for x in parent}
+
+    mixed = ([(i, i + 1) for i in range(10, 18)]
+             + [(1, 2), (2, 3), (1, 3)] + [(40, 41)] + [(99, 7)])
+    rng = random.Random(61)
+    rand = [(rng.randrange(500), rng.randrange(500)) for _ in range(400)]
+    rand = [(a, b) for a, b in rand if a != b]
+    for edges in (mixed, rand):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {(r["id"], r["comp"])
+               for r in dup_components_star(df, max_iter=20).collect()}
+        assert got == uf(edges)
+        # both variants implement the same contract
+        jump = {(r["id"], r["comp"])
+                for r in dup_components(df, max_iter=30).collect()}
+        assert got == jump
+
+
+def test_dup_components_star_long_chain(spark):
+    """201-node path (diameter 200) converges within the O(log n) round
+    budget, like the pointer-jumping variant."""
+    from search_engine_tr_spark.operators.dedup import dup_components_star
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(0, 200)],
+                                  "id_a long, id_b long")
+    got = dup_components_star(chain, max_iter=12).collect()
+    assert {r["comp"] for r in got} == {0}
+    assert len(got) == 201
+
+
+def test_dup_components_star_edge_set_contracts(spark):
+    """The property that motivates the variant: on a large component the
+    working edge set SHRINKS round over round toward one star edge per
+    non-root node, where label propagation re-joins the full edge set
+    every round. A 4-regular-ish 300-node single component ends at
+    exactly n-1 star edges."""
+    import random
+
+    from search_engine_tr_spark.operators.dedup import (_large_star,
+                                                        _small_star)
+    from pyspark.sql import functions as F
+
+    rng = random.Random(67)
+    n = 300
+    edges = [(i, i + 1) for i in range(n - 1)]  # connected spine
+    edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(3 * n)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = (spark.createDataFrame(edges, "src long, dst long")
+          .select(F.least("src", "dst").alias("src"),
+                  F.greatest("src", "dst").alias("dst")).distinct())
+    start = df.count()
+    cur = df
+    for _ in range(10):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        if nxt.count() == cur.count():
+            sym_diff = nxt.exceptAll(cur).count() + cur.exceptAll(nxt).count()
+            if sym_diff == 0:
+                cur = nxt
+                break
+        cur = nxt
+    final = cur.count()
+    assert final == n - 1          # one star edge per non-root
+    assert final < start           # strictly contracted
+    assert cur.filter(F.col("dst") != 0).count() == 0  # all point at min
