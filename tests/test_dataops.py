@@ -556,3 +556,33 @@ def test_dup_components_star_edge_set_contracts(spark):
     assert final == n - 1          # one star edge per non-root
     assert final < start           # strictly contracted
     assert cur.filter(F.col("dst") != 0).count() == 0  # all point at min
+
+
+def test_image_features_batch_parity():
+    """The batch-vectorized feature path must be bit-identical to the
+    per-payload reference on every payload class: canonical P6/P5 of
+    varied shapes, maxval!=255, comment headers, truncated rasters, and
+    non-netpbm junk (stub path)."""
+    import numpy as np
+    import pytest
+
+    from search_engine_tr_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(71)
+    payloads = []
+    for (w, h) in [(8, 8), (8, 8), (5, 3), (1, 1), (16, 2)]:
+        payloads.append(mm.encode_ppm(
+            rng.randint(0, 256, (h, w, 3)).astype(np.uint8)))
+    payloads.append(b"P5 4 4 255\n" + bytes(rng.randint(0, 256, 16).tolist()))
+    payloads.append(b"P6 2 2 100\n" + bytes(rng.randint(0, 101, 12).tolist()))
+    payloads.append(b"P6\n# comment\n2 2 255\n" + bytes(12))
+    payloads.append(b"P6 4 4 255\n" + bytes(10))       # truncated raster
+    payloads.append(b"\x89PNG junkjunkjunk")           # stub path
+    payloads.append(b"")                               # empty stub
+    got = mm._image_features_batch(payloads)
+    for g, p in zip(got, payloads):
+        want = mm._image_features(p)
+        assert g.dtype == want.dtype == np.float32
+        assert np.array_equal(g, want), p[:20]
+    with pytest.raises(ValueError, match="null payload"):
+        mm._image_features_batch([payloads[0], None])
