@@ -21,6 +21,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import DEFAULT_MAX_BUCKET_SIZE
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -122,13 +124,15 @@ def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 def pairwise_cosine_dupes(df: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           n_planes: int = 8, seed: int = 42,
-                          max_bucket_size: int | None = None) -> DataFrame:
+                          max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+                          ) -> DataFrame:
     """Embedding near-dup pairs ≥ threshold, candidates from shared LSH
     bucket (approximate recall, exact precision). → (id_a, id_b, cosine).
 
-    ``max_bucket_size`` drops hot buckets (skew guard for near-constant
-    corpora where one sign-pattern absorbs most vectors); dropped-bucket
-    count is logged — never silently capped."""
+    ``max_bucket_size`` (default ``operators.dedup.
+    DEFAULT_MAX_BUCKET_SIZE``, None = uncapped) drops hot buckets (skew
+    guard for near-constant corpora where one sign-pattern absorbs most
+    vectors); dropped-bucket count is logged — never silently capped."""
     planes = _planes(df.select(F.size(vec_col)).first()[0], n_planes, seed)
     b = df.withColumn(
         "_bucket", _bucket_col(F.col(vec_col).cast("array<double>"), planes))
