@@ -444,3 +444,89 @@ def test_crash_replayed_with_different_batch(spark, tmp_path, monkeypatch):
             os.path.join(d, "links")).collect())
     assert _link_multiset(ix) == _link_multiset(fresh_ix)
     assert _results(spark, ix, QUERIES) == _results(spark, fresh_ix, QUERIES)
+
+
+def test_chunked_bulk_commit(spark, tmp_path):
+    """VERDICT r4 #5: a batch above commit_chunk_rows commits as
+    sequential url-hash chunks — multiple single-file doc_map commits
+    instead of one serialized coalesce(1) task — with identical results
+    and one derived refresh at the end."""
+    import glob
+
+    pages = gen_pages(70, seed=59)
+    ix = str(tmp_path / "ix")
+    build_index(spark, spark.createDataFrame(pages[:30],
+                                             schema=pages_schema()),
+                ix, n_shards=4, term_buckets=8)
+    files_before = len(glob.glob(os.path.join(ix, "doc_map", "*.parquet")))
+    from search_engine_tr_spark.streaming.incremental import \
+        incremental_index_update
+    m = incremental_index_update(
+        spark, spark.createDataFrame(pages[30:], schema=pages_schema()),
+        ix, refresh_derived=True, commit_chunk_rows=12)
+    assert m["new_docs"] == 40
+    assert m["commit_chunks"] == 4  # ceil(40 / 12)
+    assert m["delta_docs"] == 40    # one refresh folded everything
+    files_after = len(glob.glob(os.path.join(ix, "doc_map", "*.parquet")))
+    assert files_after - files_before == 4  # one commit file per chunk
+
+    dm = spark.read.parquet(os.path.join(ix, "doc_map"))
+    assert dm.count() == dm.select("url").distinct().count() == 70
+    assert dm.select("doc_id").distinct().count() == 70
+
+    fresh_ix = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(pages, schema=pages_schema()),
+                fresh_ix, n_shards=4, term_buckets=8)
+    assert _results(spark, ix, QUERIES) == _results(spark, fresh_ix, QUERIES)
+
+
+def test_chunked_bulk_commit_crash_mid_chunk(spark, tmp_path, monkeypatch):
+    """Crash during the SECOND chunk's doc_map commit: chunk 1 stays
+    durably committed, chunk 2 rolls back on replay, and the replayed
+    bulk ingest converges to the exact index."""
+    import pyspark.sql.classic.dataframe as D
+    import pytest
+
+    from search_engine_tr_spark.streaming.incremental import \
+        incremental_index_update
+
+    pages = gen_pages(60, seed=67)
+    ix = str(tmp_path / "ix")
+    build_index(spark, spark.createDataFrame(pages[:30],
+                                             schema=pages_schema()),
+                ix, n_shards=4, term_buckets=8)
+    batch = spark.createDataFrame(pages[30:], schema=pages_schema())
+
+    orig_coalesce = D.DataFrame.coalesce
+    calls = {"n": 0}
+
+    def boom_second(self, n):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash in chunk 2 commit")
+        return orig_coalesce(self, n)
+
+    monkeypatch.setattr(D.DataFrame, "coalesce", boom_second)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_index_update(spark, batch, ix, commit_chunk_rows=12)
+    monkeypatch.setattr(D.DataFrame, "coalesce", orig_coalesce)
+
+    # chunk 1 committed, chunk 2's intent still live
+    assert os.path.exists(os.path.join(ix, "_ingest_intent.json"))
+    dm_mid = spark.read.parquet(os.path.join(ix, "doc_map")).count()
+    assert 30 < dm_mid < 60
+
+    m = incremental_index_update(spark, batch, ix, refresh_derived=True,
+                                 commit_chunk_rows=12)
+    assert m["new_docs"] == 60 - dm_mid
+    assert not os.path.exists(os.path.join(ix, "_ingest_intent.json"))
+
+    p = spark.read.parquet(os.path.join(ix, "postings"))
+    assert p.groupBy("doc_id", "term").count().filter("count > 1") \
+        .count() == 0
+    dm = spark.read.parquet(os.path.join(ix, "doc_map"))
+    assert dm.count() == dm.select("url").distinct().count() == 60
+    fresh_ix = str(tmp_path / "fresh")
+    build_index(spark, spark.createDataFrame(pages, schema=pages_schema()),
+                fresh_ix, n_shards=4, term_buckets=8)
+    assert _results(spark, ix, QUERIES) == _results(spark, fresh_ix, QUERIES)
