@@ -54,7 +54,8 @@ class BM25Index:
     reader to observe a later generation."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 tstats_mode: str = "memory"):
+                 tstats_mode: str = "memory",
+                 reader_shuffle_partitions: int | None = None):
         """``tstats_mode``:
 
         - "memory" (default, single-node/bench): persist the whole
@@ -63,7 +64,17 @@ class BM25Index:
           (partitioned by term_bucket at build time); each query computes
           its terms' buckets and reads ONLY those partitions — the df/idf
           lookup cost is bounded by the query's buckets, not the vocabulary.
-        """
+
+        ``reader_shuffle_partitions``: reduce-side task count for query
+        jobs (the per-shard WAND stage and top-k windows). Default: HALF
+        the parent session's shuffle partitions, floor 8 — a top-k
+        query's reduce side is shards × k tiny rows plus a ms-scale
+        kernel per shard, so two shards per task halves the scheduling
+        overhead that dominates short queries (measured at sf0.1:
+        p50 451→352 ms, batch1000 268→325 qps; BENCH notes r5). Pass the
+        parent's value (or n_shards) when per-shard kernel work is the
+        bottleneck instead — e.g. scans of very hot terms on huge
+        corpora."""
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         from ..plans import fsio
@@ -81,6 +92,14 @@ class BM25Index:
         # is re-read, and cross-session joins with caller frames work.
         self._qspark = spark.newSession()
         self._qspark.conf.set("spark.sql.adaptive.enabled", "false")
+        if reader_shuffle_partitions is None:
+            try:
+                parent = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except (TypeError, ValueError):
+                parent = 200
+            reader_shuffle_partitions = max(8, parent // 2)
+        self._qspark.conf.set("spark.sql.shuffle.partitions",
+                              str(int(reader_shuffle_partitions)))
         # the committed snapshot bound (see class docstring); None for a
         # pre-delta meta, where no uncommitted generation can exist
         self._committed_max = (int(self.meta["derived_max_doc_id"])
@@ -150,19 +169,12 @@ class BM25Index:
     _ISIN_MAX = 256
 
     def _buckets_of(self, terms: list[str]) -> list[int]:
-        """term_bucket of each query term — one small job (the bucket hash
-        is JVM xxhash64, so compute it with the same expression)."""
-        if len(terms) <= self._ISIN_MAX:
-            row = self.spark.range(1).select(*[
-                F.pmod(F.xxhash64(F.lit(t)), F.lit(self.term_buckets))
-                 .cast("int").alias(f"b{i}") for i, t in enumerate(terms)
-            ]).first()
-            return sorted({int(v) for v in row})
-        tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
-        rows = (tdf.select(F.pmod(F.xxhash64("term"),
-                                  F.lit(self.term_buckets))
-                           .cast("int").alias("b")).distinct().collect())
-        return sorted(int(r["b"]) for r in rows)
+        """term_bucket of each query term, computed DRIVER-SIDE with the
+        pure-Python twin of the JVM bucket hash (functions.xxh, parity
+        pinned by test) — zero Spark jobs, which is what makes the
+        single-action search path possible."""
+        from ..functions.xxh import term_bucket
+        return sorted({term_bucket(t, self.term_buckets) for t in terms})
 
     def _filter_terms(self, df: DataFrame, terms: list[str]) -> DataFrame:
         """term ∈ terms — isin literals for small sets, broadcast join for
@@ -201,7 +213,16 @@ class BM25Index:
 
     def search(self, raw_query: str, k: int = 10,
                mode: str = "wand") -> DataFrame:
-        """→ DataFrame(doc_id, score) — global top-k, (score desc, doc_id asc)."""
+        """→ DataFrame(doc_id, score) — global top-k, (score desc, doc_id asc).
+
+        Plan shape (measured in BENCH notes r5): term df/idf comes from the
+        MEMOIZED driver lookup (zero jobs for seen terms, one tiny collect
+        for new ones) and rides the kernel closure; bucket routing is
+        driver-side hashing (functions.xxh — no job). A single-action
+        variant that broadcast-joined a df frame into the block scan was
+        tried and REVERTED: the extra agg + broadcast-build stages cost
+        more scheduling latency per query than the collect they replaced
+        (p50 533 → 812 ms at sf0.1)."""
         terms = self.query_terms(raw_query)
         tmeta = self._term_meta(terms)
         if not tmeta:

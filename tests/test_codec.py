@@ -55,3 +55,28 @@ def test_block_roundtrip(postings):
 def test_empty_streams():
     assert varint_encode(np.empty(0, dtype=np.uint64)) == b""
     assert varint_decode(b"").size == 0
+
+
+def test_xxh64_matches_spark(spark):
+    """Driver-side bucket routing (functions.xxh) must match the JVM
+    F.xxhash64 bit-for-bit — every length class (empty, <4, <8, <32,
+    stripes + tails) and multi-byte UTF-8."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from search_engine_tr_spark.functions.xxh import term_bucket, xxh64
+
+    rng = random.Random(5)
+    pool = ["", "a", "ab", "abc", "abcd", "istanbul", "İZMİR", "😀emoji",
+            "x" * 7, "y" * 8, "z" * 31, "w" * 32, "v" * 33, "t" * 100]
+    pool += ["".join(chr(rng.randrange(32, 0x2000))
+                     for _ in range(rng.randrange(0, 64)))
+             for _ in range(200)]
+    rows = (spark.createDataFrame([(s,) for s in pool], "s string")
+            .select("s", F.xxhash64("s").alias("h"),
+                    F.pmod(F.xxhash64("s"), F.lit(64)).cast("int").alias("b"))
+            .collect())
+    for r in rows:
+        assert xxh64(r["s"].encode("utf-8")) == r["h"], repr(r["s"])
+        assert term_bucket(r["s"], 64) == r["b"], repr(r["s"])
