@@ -578,12 +578,21 @@ def dup_components_star(pairs: DataFrame, id_a: str = "id_a",
 
 
 def near_dedup(df: DataFrame, pairs: DataFrame,
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               algorithm: str = "jump") -> DataFrame:
     """Drop every near-duplicate except its component's minimum-id doc:
     the end-to-end keep-list step of a training-data dedup pipeline
     (pairs from token_jaccard_pairs / minhash_lsh_pairs /
-    simhash_near_pairs all fit). Docs in no pair survive untouched."""
-    comp = dup_components(pairs)
+    simhash_near_pairs all fit). Docs in no pair survive untouched.
+
+    ``algorithm``: "jump" (label propagation + pointer jumping — the
+    default) or "star" (large-star/small-star contraction — same result,
+    per-round work shrinks with the edge set; prefer on corpora with
+    huge near-dup clusters)."""
+    if algorithm not in ("jump", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    cc = dup_components if algorithm == "jump" else dup_components_star
+    comp = cc(pairs)
     drop = (comp.filter(F.col("comp") != F.col("id"))
             .select(F.col("id").alias(id_col)))
     return df.join(drop, id_col, "left_anti")
