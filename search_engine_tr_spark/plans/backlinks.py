@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators.pagerank import (cross_domain_edges, indegree_authority,
                                   pagerank)
+from . import fsio
 from .index_build import IndexPaths
 
 
@@ -53,16 +54,84 @@ def domain_scores_from_links(links: DataFrame,
 def refresh_domain_scores(spark: SparkSession, index_dir: str,
                           mode: str = "indegree",
                           damping: float = 0.85,
-                          max_iter: int = 20) -> dict:
+                          max_iter: int = 20,
+                          delta: bool = False) -> dict:
     """Read ``links`` under ``index_dir``, write ``domain_scores``.
 
     The batch equivalent of the reference's 20-minute rescore loop — run it
-    on whatever cadence the deployment wants; every run fully replaces the
-    scores (the reference also zeroes before re-adding,
-    backlink_analyser.py:36-40)."""
+    on whatever cadence the deployment wants; by default every run fully
+    replaces the scores (the reference also zeroes before re-adding,
+    backlink_analyser.py:36-40).
+
+    ``delta=True`` (indegree mode only — counts are ADDITIVE over link-row
+    subsets, PageRank is not) makes the refresh data-proportional for the
+    100 TB cadence story: only link FILES appended since the last refresh
+    are read (the sidecar records the processed file set), their
+    cross-domain counts are summed into the existing scores, and the
+    result overwrites the table. Crash-safe by generation matching: a
+    ``_scores_gen.json`` marker is committed right after the scores write
+    and must equal the ``_scores_meta.json`` generation committed after
+    it — any mismatch (crash between the three writes), a mode change, or
+    a links compaction that REWROTE old files (processed set no longer a
+    subset of the current listing) falls back to one full recompute,
+    which re-baselines both sidecars. Value parity with the full
+    recompute is pinned by test_linkgraph_e2e."""
+    import hashlib
+    import json as _json
+    import os
+
     paths = IndexPaths(index_dir)
-    links = spark.read.parquet(paths.links)
-    scores = domain_scores_from_links(links, mode, damping, max_iter)
-    scores.write.mode("overwrite").parquet(paths.domain_scores)
-    out = spark.read.parquet(paths.domain_scores)
-    return {"mode": mode, "n_domains": out.count()}
+    meta_path = os.path.join(index_dir, "_scores_meta.json")
+    gen_path = os.path.join(index_dir, "_scores_gen.json")
+
+    def _links_files() -> list[str]:
+        return sorted(f for f in fsio.list_files_recursive(spark, paths.links)
+                      if f.endswith(".parquet"))
+
+    def _gen_of(files: list[str]) -> str:
+        return hashlib.sha1(_json.dumps(files).encode()).hexdigest()[:16]
+
+    def _full(files: list[str]) -> dict:
+        links = spark.read.parquet(paths.links)
+        scores = domain_scores_from_links(links, mode, damping, max_iter) \
+            .localCheckpoint()
+        scores.write.mode("overwrite").parquet(paths.domain_scores)
+        g = _gen_of(files)
+        fsio.write_json(spark, gen_path, {"gen": g})
+        fsio.write_json(spark, meta_path,
+                        {"mode": mode, "files": files, "gen": g})
+        return {"mode": mode, "n_domains": scores.count(), "full": True}
+
+    files_now = _links_files()
+    if not delta:
+        return _full(files_now)
+    if mode != "indegree":
+        raise ValueError("delta refresh requires additive counts "
+                         "(mode='indegree'); pagerank must recompute")
+    try:
+        meta = fsio.read_json(spark, meta_path)
+        gen = fsio.read_json(spark, gen_path)
+    except Exception:
+        return _full(files_now)  # first run (or lost sidecars)
+    done = meta.get("files", [])
+    if (meta.get("mode") != mode or meta.get("gen") != gen.get("gen")
+            or not set(done) <= set(files_now)):
+        # crashed mid-refresh, mode switch, or links were compacted:
+        # one full recompute re-baselines everything
+        return _full(files_now)
+    new_files = [f for f in files_now if f not in set(done)]
+    if not new_files:
+        out = spark.read.parquet(paths.domain_scores)
+        return {"mode": mode, "n_domains": out.count(), "delta_files": 0}
+    old = spark.read.parquet(paths.domain_scores)
+    add = domain_scores_from_links(spark.read.parquet(*new_files), mode)
+    merged = (old.unionByName(add)
+              .groupBy("domain").agg(F.sum("score").alias("score"))
+              .localCheckpoint())  # sever lineage: overwrite reads itself
+    merged.write.mode("overwrite").parquet(paths.domain_scores)
+    g = _gen_of(files_now)
+    fsio.write_json(spark, gen_path, {"gen": g})
+    fsio.write_json(spark, meta_path,
+                    {"mode": mode, "files": files_now, "gen": g})
+    return {"mode": mode, "n_domains": merged.count(),
+            "delta_files": len(new_files)}

@@ -157,3 +157,74 @@ def test_search_blended_authority_and_formula(spark, tiny_index):
         assert h["authority"] == expected_auth
         assert h["score"] == pytest.approx(
             h["bm25"] * (1.0 + 0.25 * math.log1p(expected_auth)))
+
+
+def test_delta_domain_scores_refresh(spark, tmp_path, monkeypatch):
+    """Data-proportional domain-scores refresh (round 5): only link files
+    appended since the last refresh are read; merged counts equal a full
+    recompute exactly. Crash between the scores write and the sidecar
+    commit, and a links compaction, both heal via full-recompute
+    fallback."""
+    from search_engine_tr_spark.plans import backlinks as bl
+    from search_engine_tr_spark.plans.index_build import build_index
+    from search_engine_tr_spark.sources.synth import gen_pages, pages_schema
+    from search_engine_tr_spark.streaming.incremental import \
+        incremental_index_update
+
+    pages = gen_pages(80, seed=73)
+    ix = str(tmp_path / "ix")
+    build_index(spark, spark.createDataFrame(pages[:50],
+                                             schema=pages_schema()),
+                ix, n_shards=4, term_buckets=8)
+
+    def _scores():
+        return {r["domain"]: r["score"] for r in
+                spark.read.parquet(ix + "/domain_scores").collect()}
+
+    m0 = bl.refresh_domain_scores(spark, ix, delta=True)
+    assert m0["full"]  # first delta call baselines with a full pass
+    incremental_index_update(
+        spark, spark.createDataFrame(pages[50:65], schema=pages_schema()), ix)
+    m1 = bl.refresh_domain_scores(spark, ix, delta=True)
+    assert m1.get("delta_files", 0) >= 1 and "full" not in m1
+    got = _scores()
+    bl.refresh_domain_scores(spark, ix)  # full recompute as the oracle
+    assert got == _scores()
+
+    # no-op when nothing new
+    m2 = bl.refresh_domain_scores(spark, ix, delta=True)
+    assert m2["delta_files"] == 0
+
+    # crash window: gen marker committed, meta sidecar not -> mismatch ->
+    # next delta run falls back to full and stays exact
+    incremental_index_update(
+        spark, spark.createDataFrame(pages[65:], schema=pages_schema()), ix)
+    real_write_json = bl.fsio.write_json
+
+    def failing(spark_, path, obj):
+        if path.endswith("_scores_meta.json"):
+            raise RuntimeError("injected crash before meta sidecar")
+        return real_write_json(spark_, path, obj)
+
+    import pytest as _pytest
+    monkeypatch.setattr(bl.fsio, "write_json", failing)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        bl.refresh_domain_scores(spark, ix, delta=True)
+    monkeypatch.setattr(bl.fsio, "write_json", real_write_json)
+    m3 = bl.refresh_domain_scores(spark, ix, delta=True)
+    assert m3["full"]
+    got_all = _scores()
+    bl.refresh_domain_scores(spark, ix)
+    assert got_all == _scores()
+
+    # compaction fallback: rewriting the links table (old files vanish)
+    # must trigger a full re-baseline, not a wrong delta
+    links = spark.read.parquet(ix + "/links").localCheckpoint()
+    links.coalesce(1).write.mode("overwrite").parquet(ix + "/links")
+    m4 = bl.refresh_domain_scores(spark, ix, delta=True)
+    assert m4["full"]
+    assert got_all == _scores()
+
+    # pagerank cannot delta
+    with _pytest.raises(ValueError, match="additive"):
+        bl.refresh_domain_scores(spark, ix, mode="pagerank", delta=True)
