@@ -578,11 +578,15 @@ def q_ivf_ann(spark, sf_dir):
 
 
 def q_pairwise_cosine_dupes(spark, sf_dir):
-    """Embedding near-pairs from shared LSH buckets, exact cosine verify."""
+    """Embedding near-pairs from shared LSH buckets, exact cosine verify.
+    max_bucket_size=None EXPLICITLY: this entry runs on the unbounded
+    embeddings table and its oracle replays the UNCAPPED bucket math — at
+    a larger driver SF a hot bucket could cross the production default
+    and silently diverge (round-5 review finding)."""
     from search_engine_tr_spark.operators.similarity import pairwise_cosine_dupes
 
     emb = _t(spark, sf_dir, "embeddings")
-    return (pairwise_cosine_dupes(emb, threshold=0.35)
+    return (pairwise_cosine_dupes(emb, threshold=0.35, max_bucket_size=None)
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 

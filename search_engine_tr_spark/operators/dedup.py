@@ -164,7 +164,11 @@ def _jaccard_pairs_from_units(toks: DataFrame, threshold: float,
                  .groupBy("id_a", "id_b")
                  .agg(F.count("*").alias("inter")))
     else:
-        tdf = toks.groupBy("token").agg(F.count("*").alias("tdf"))
+        # localCheckpoint: the drop-accounting count below and the rare-
+        # token semi-join reuse this aggregate — without it each would
+        # re-run the full tokenize pass (round-5 review finding)
+        tdf = (toks.groupBy("token").agg(F.count("*").alias("tdf"))
+               .localCheckpoint())
         n_hot = tdf.filter(F.col("tdf") > max_token_df).count()
         if n_hot:
             import logging
@@ -273,9 +277,12 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
                                      lambda v: v.cast("string"))
                 ), kernel=hash_kernel).alias("bucket")))).alias("bb"))
     if max_bucket_size is not None:
+        # localCheckpoint: reused by the count and the keep-join — avoids
+        # re-running the signature/banding pipeline (round-5 review)
         bsz = (banded.groupBy(F.col("bb.band").alias("_band"),
                               F.col("bb.bucket").alias("_bucket"))
-               .agg(F.count("*").alias("_n")))
+               .agg(F.count("*").alias("_n"))
+               .localCheckpoint())
         n_hot = bsz.filter(F.col("_n") > max_bucket_size).count()
         if n_hot:
             import logging

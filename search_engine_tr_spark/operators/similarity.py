@@ -137,7 +137,10 @@ def pairwise_cosine_dupes(df: DataFrame, threshold: float = 0.95,
     b = df.withColumn(
         "_bucket", _bucket_col(F.col(vec_col).cast("array<double>"), planes))
     if max_bucket_size is not None:
-        sizes = b.groupBy("_bucket").agg(F.count("*").alias("_bsz"))
+        # localCheckpoint: reused by the count and the keep-join — avoids
+        # recomputing every plane dot twice (round-5 review)
+        sizes = (b.groupBy("_bucket").agg(F.count("*").alias("_bsz"))
+                 .localCheckpoint())
         n_hot = sizes.filter(F.col("_bsz") > max_bucket_size).count()
         if n_hot:
             import logging

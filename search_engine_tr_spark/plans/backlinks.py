@@ -68,13 +68,17 @@ def refresh_domain_scores(spark: SparkSession, index_dir: str,
     100 TB cadence story: only link FILES appended since the last refresh
     are read (the sidecar records the processed file set), their
     cross-domain counts are summed into the existing scores, and the
-    result overwrites the table. Crash-safe by generation matching: a
-    ``_scores_gen.json`` marker is committed right after the scores write
-    and must equal the ``_scores_meta.json`` generation committed after
-    it — any mismatch (crash between the three writes), a mode change, or
-    a links compaction that REWROTE old files (processed set no longer a
-    subset of the current listing) falls back to one full recompute,
-    which re-baselines both sidecars. Value parity with the full
+    result overwrites the table. Crash-safe by generation matching: the
+    NEW generation is published to ``_scores_gen.json`` BEFORE the scores
+    overwrite (poisoning the whole write window) and ``_scores_meta.json``
+    is committed only after it — so a crash anywhere between the three
+    writes leaves gen ≠ meta.gen, and the next run (like a mode change,
+    or a links compaction that REWROTE old files so the processed set is
+    no longer a subset of the current listing) falls back to one full
+    recompute that re-baselines both sidecars. Gen-first ordering
+    matters: a marker written AFTER the scores would leave a crash
+    between those two writes invisible, and the replayed delta would
+    double-count (round-5 review finding). Value parity with the full
     recompute is pinned by test_linkgraph_e2e."""
     import hashlib
     import json as _json
@@ -95,9 +99,10 @@ def refresh_domain_scores(spark: SparkSession, index_dir: str,
         links = spark.read.parquet(paths.links)
         scores = domain_scores_from_links(links, mode, damping, max_iter) \
             .localCheckpoint()
-        scores.write.mode("overwrite").parquet(paths.domain_scores)
+        # gen FIRST: poisons the write window (see docstring)
         g = _gen_of(files)
         fsio.write_json(spark, gen_path, {"gen": g})
+        scores.write.mode("overwrite").parquet(paths.domain_scores)
         fsio.write_json(spark, meta_path,
                         {"mode": mode, "files": files, "gen": g})
         return {"mode": mode, "n_domains": scores.count(), "full": True}
@@ -128,9 +133,11 @@ def refresh_domain_scores(spark: SparkSession, index_dir: str,
     merged = (old.unionByName(add)
               .groupBy("domain").agg(F.sum("score").alias("score"))
               .localCheckpoint())  # sever lineage: overwrite reads itself
-    merged.write.mode("overwrite").parquet(paths.domain_scores)
+    # gen FIRST (see docstring): a crash anywhere below leaves
+    # gen ≠ meta.gen and the next run re-baselines with a full recompute
     g = _gen_of(files_now)
     fsio.write_json(spark, gen_path, {"gen": g})
+    merged.write.mode("overwrite").parquet(paths.domain_scores)
     fsio.write_json(spark, meta_path,
                     {"mode": mode, "files": files_now, "gen": g})
     return {"mode": mode, "n_domains": merged.count(),

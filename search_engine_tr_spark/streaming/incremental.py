@@ -164,7 +164,10 @@ def incremental_index_update(spark: SparkSession, new_pages: DataFrame,
             "incremental_index_update: %d fresh pages > commit chunk %d — "
             "committing as %d sequential chunks", overflow,
             commit_chunk_rows, k)
+        probe_rolled = out.get("rolled_back_files", 0)
         out = {"new_docs": 0, "new_postings": 0, "commit_chunks": k}
+        if probe_rolled:  # crash recovery performed by the probe pass
+            out["rolled_back_files"] = probe_rolled
         for c in range(k):
             sub = new_pages.filter(
                 F.pmod(F.xxhash64("url"), F.lit(k)) == c)
@@ -217,6 +220,23 @@ def _ingest_core(spark: SparkSession, new_pages: DataFrame, index_dir: str,
                                         url_col="source_url"):
                 fsio.delete(spark, fp)
                 n_rolled_back += 1
+    if max_rows is not None:
+        # overflow probe BEFORE materializing anything: a column-pruned
+        # url-only anti-join count — a 5M-page bulk batch must not
+        # localCheckpoint its full html just to learn it needs chunking
+        # (round-5 review finding). Row count matches the full anti-join
+        # below exactly (same join, no projection-dependent rows).
+        n_probe = (new_pages.select("url")
+                   .join(doc_map.select("url"), "url", "left_anti").count())
+        if n_probe > max_rows:
+            # state is clean (any crashed attempt was rolled back above),
+            # so clear the stale marker — each chunk publishes its own —
+            # and report the rollback instead of swallowing it
+            fsio.delete(spark, intent)
+            out = {"new_docs": 0, "overflow": n_probe}
+            if n_rolled_back:
+                out["rolled_back_files"] = n_rolled_back
+            return out
     # localCheckpoint (not cache): appending to doc_map below invalidates
     # any cached plan that READS doc_map (recacheByPath), which would make
     # a cached anti-join silently recompute as empty — checkpointing severs
@@ -229,9 +249,6 @@ def _ingest_core(spark: SparkSession, new_pages: DataFrame, index_dir: str,
         # above, or its batch actually committed) — clear the marker
         fsio.delete(spark, intent)
         return {"new_docs": 0}
-    if max_rows is not None and n_new > max_rows:
-        # nothing published yet — the caller re-drives in chunks
-        return {"new_docs": 0, "overflow": n_new}
     new_ids = (assign_doc_ids(fresh)
                .withColumn("doc_id", F.col("doc_id") + F.lit(base + 1))
                .localCheckpoint())

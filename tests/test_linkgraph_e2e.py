@@ -195,24 +195,47 @@ def test_delta_domain_scores_refresh(spark, tmp_path, monkeypatch):
     m2 = bl.refresh_domain_scores(spark, ix, delta=True)
     assert m2["delta_files"] == 0
 
-    # crash window: gen marker committed, meta sidecar not -> mismatch ->
-    # next delta run falls back to full and stays exact
+    # crash window A: scores overwritten, meta sidecar not -> gen/meta
+    # mismatch -> next delta run falls back to full and stays exact
     incremental_index_update(
         spark, spark.createDataFrame(pages[65:], schema=pages_schema()), ix)
     real_write_json = bl.fsio.write_json
 
-    def failing(spark_, path, obj):
+    def fail_meta(spark_, path, obj):
         if path.endswith("_scores_meta.json"):
             raise RuntimeError("injected crash before meta sidecar")
         return real_write_json(spark_, path, obj)
 
     import pytest as _pytest
-    monkeypatch.setattr(bl.fsio, "write_json", failing)
+    monkeypatch.setattr(bl.fsio, "write_json", fail_meta)
     with _pytest.raises(RuntimeError, match="injected crash"):
         bl.refresh_domain_scores(spark, ix, delta=True)
     monkeypatch.setattr(bl.fsio, "write_json", real_write_json)
     m3 = bl.refresh_domain_scores(spark, ix, delta=True)
     assert m3["full"]
+    got_all = _scores()
+    bl.refresh_domain_scores(spark, ix)
+    assert got_all == _scores()
+
+    # crash window B (the round-5 review finding): the NEW gen marker is
+    # committed but the process dies before the scores overwrite. Gen-
+    # first ordering makes this window VISIBLE (gen != meta.gen), so the
+    # replay re-baselines instead of double-counting the delta files.
+    incremental_index_update(
+        spark, spark.createDataFrame(gen_pages(90, seed=73)[80:],
+                                     schema=pages_schema()), ix)
+
+    def fail_after_gen(spark_, path, obj):
+        real_write_json(spark_, path, obj)
+        if path.endswith("_scores_gen.json"):
+            raise RuntimeError("injected crash after gen marker")
+
+    monkeypatch.setattr(bl.fsio, "write_json", fail_after_gen)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        bl.refresh_domain_scores(spark, ix, delta=True)
+    monkeypatch.setattr(bl.fsio, "write_json", real_write_json)
+    m3b = bl.refresh_domain_scores(spark, ix, delta=True)
+    assert m3b["full"]  # mismatch detected -> re-baseline, not re-merge
     got_all = _scores()
     bl.refresh_domain_scores(spark, ix)
     assert got_all == _scores()
