@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("checkpoint_dir")
     ap.add_argument("--shards", type=int, default=32)
     ap.add_argument("--term-buckets", type=int, default=64)
+    ap.add_argument("--refresh-scores", action="store_true",
+                    help="also delta-refresh domain_scores after the drain")
     args = ap.parse_args()
 
     from search_engine_tr_spark.session import get_spark
@@ -44,7 +46,8 @@ def main() -> None:
     spark = get_spark(app="ingest-stream")
     stats = stream_ingest_index(spark, args.pages_dir, args.index_dir,
                                 args.checkpoint_dir, n_shards=args.shards,
-                                term_buckets=args.term_buckets)
+                                term_buckets=args.term_buckets,
+                                refresh_scores=args.refresh_scores)
     print(json.dumps(stats))
 
 

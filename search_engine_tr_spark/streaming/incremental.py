@@ -441,7 +441,8 @@ def refresh_derived_delta(spark: SparkSession, index_dir: str) -> dict:
 
 def stream_ingest_index(spark: SparkSession, pages_dir: str, index_dir: str,
                         checkpoint_dir: str, n_shards: int = 8,
-                        term_buckets: int = 16, pages_schema=None) -> dict:
+                        term_buckets: int = 16, pages_schema=None,
+                        refresh_scores: bool = False) -> dict:
     """Streaming ingestion into the QUERYABLE index: watch ``pages_dir``
     for new parquet files and fold each micro-batch into the block index.
 
@@ -468,6 +469,12 @@ def stream_ingest_index(spark: SparkSession, pages_dir: str, index_dir: str,
     Sidecar IO (meta.json, the ingest-intent marker) goes through
     ``plans.fsio`` — local fast path or the Hadoop FileSystem API — so an
     object-store index root works too.
+
+    With ``refresh_scores=True`` the drain also delta-refreshes the
+    ``domain_scores`` table (indegree mode, new link files only — see
+    ``plans.backlinks.refresh_domain_scores``), keeping the authority
+    blend current on the same cadence as the reference's twin 30-min/
+    20-min loops.
 
     Blocking (availableNow): returns {"new_docs": total appended this
     drain, ...} after the drain and any needed derived refresh.
@@ -509,6 +516,15 @@ def stream_ingest_index(spark: SparkSession, pages_dir: str, index_dir: str,
                                          meta.get("n_docs", -1)))
         if spark.read.parquet(paths.doc_map).count() != mapped_at_refresh:
             totals.update(refresh_derived_delta(spark, index_dir))
+        if refresh_scores and fsio.exists(spark, paths.links):
+            # the domain-authority twin of the derived refresh: fold only
+            # the link files this drain appended (additive indegree; see
+            # plans.backlinks.refresh_domain_scores delta semantics).
+            # Idempotent and self-healing, so it runs every drain.
+            from ..plans.backlinks import refresh_domain_scores
+            s = refresh_domain_scores(spark, index_dir, mode="indegree",
+                                      delta=True)
+            totals["n_domains"] = s["n_domains"]
     return totals
 
 

@@ -530,3 +530,35 @@ def test_chunked_bulk_commit_crash_mid_chunk(spark, tmp_path, monkeypatch):
     build_index(spark, spark.createDataFrame(pages, schema=pages_schema()),
                 fresh_ix, n_shards=4, term_buckets=8)
     assert _results(spark, ix, QUERIES) == _results(spark, fresh_ix, QUERIES)
+
+
+def test_stream_ingest_refresh_scores(spark, tmp_path):
+    """refresh_scores=True keeps domain_scores current across drains via
+    the delta path, equal to a full recompute after every drain."""
+    from search_engine_tr_spark.plans.backlinks import refresh_domain_scores
+
+    pages = gen_pages(60, seed=79)
+    src = str(tmp_path / "pages")
+    ix = str(tmp_path / "ix")
+    ck = str(tmp_path / "ck")
+
+    def _scores():
+        return {r["domain"]: r["score"] for r in
+                spark.read.parquet(os.path.join(ix, "domain_scores"))
+                .collect()}
+
+    _write_wave(spark, pages[:40], src)
+    s1 = stream_ingest_index(spark, src, ix, ck, n_shards=4, term_buckets=8,
+                             refresh_scores=True)
+    assert s1["n_domains"] > 0
+    got1 = _scores()
+
+    _write_wave(spark, pages[40:], src)
+    s2 = stream_ingest_index(spark, src, ix, ck, n_shards=4, term_buckets=8,
+                             refresh_scores=True)
+    assert s2["new_docs"] == 20
+    got2 = _scores()
+    assert got2 != got1  # the new wave's links moved some counts
+
+    refresh_domain_scores(spark, ix)  # full recompute as the oracle
+    assert got2 == _scores()
