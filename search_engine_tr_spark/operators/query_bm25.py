@@ -108,7 +108,14 @@ class BM25Index:
         # parquet footers are amortized across queries
         self.tstats_mode = tstats_mode
         if tstats_mode == "memory":
-            self._tstats = self._read_term_stats().persist()
+            # coalesce before persisting: the on-disk table has one-plus
+            # partitions per term_bucket, so every df lookup launched ~32
+            # tasks over a vocabulary that fits in memory anyway —
+            # measured p50 of a fresh-term lookup 313 -> 149 ms at sf0.1
+            # with 4 cached partitions (BENCH notes r5). Memory mode is
+            # by definition the fits-in-memory path; "pruned" mode is the
+            # big-vocabulary path and keeps the partitioned layout.
+            self._tstats = self._read_term_stats().coalesce(4).persist()
         elif tstats_mode == "pruned":
             self._tstats = None
         else:
