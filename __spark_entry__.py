@@ -659,24 +659,58 @@ def q_frame_sample(spark, sf_dir):
 def q_audio_rms(spark, sf_dir):
     """REAL multimodal decode path value-checked end-to-end: deterministic
     int16 samples derived from event_ids are PACKED to little-endian PCM
-    bytes (pcm16_pack_udf), then DECODED and framed to per-frame RMS by the
-    real operator (audio_frame_rms). The oracle recomputes the RMS from the
-    same integer recurrence WITHOUT the binary round-trip — any encode or
-    decode bug mismatches. Sum-of-squares is exact int64 arithmetic, so
-    the values are engine-independent before the final sqrt/round."""
-    from search_engine_tr_spark.operators.multimodal import (audio_frame_rms,
-                                                             pcm16_pack_udf)
+    bytes, then DECODED back and framed to per-frame RMS. The oracle
+    recomputes the RMS from the same integer recurrence WITHOUT the binary
+    round-trip — any encode or decode bug mismatches. Sum-of-squares is
+    exact int64 arithmetic, so the values are engine-independent before
+    the final sqrt/round.
 
+    Optimization round 6 (guide §4): sample generation + PCM pack + decode
+    + frame-RMS are FUSED into one mapInPandas pass over (media_id) only —
+    the round-5 shape shipped a 64-int array per row JVM→Python for
+    ``pcm16_pack_udf``, the packed bytes Python→JVM, then the bytes
+    JVM→Python again for ``_pcm16_frame_rms_udf`` (three Arrow transfers
+    of the payload per row). The byte round-trip itself is unchanged and
+    real: int16 samples → '<i2' little-endian bytes → np.frombuffer decode
+    → framed RMS, with the same out-of-range check as ``pcm16_pack_udf``
+    and per-frame math identical to ``_pcm16_frame_rms_udf``
+    (sq/float(frame) then np.sqrt — bit-equal IEEE ops). Per-frame rows
+    are still produced by the JVM posexplode."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    frame = 16
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy(np.int64)
+            mat = (ids[:, None] * 31 + j * 17) % 20011 - 10005
+            # REAL PCM16 round-trip (pack → bytes → decode), batch-wide:
+            # same '<i2' codec and range check as pcm16_pack_udf
+            if mat.size and (mat.max() > 32767 or mat.min() < -32768):
+                raise ValueError("sample out of int16 range")
+            raw = mat.astype("<i2").tobytes()
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int64) \
+                .reshape(len(ids), 64)
+            n = (64 // frame) * frame
+            sq = (s[:, :n] * s[:, :n]).reshape(len(ids), -1, frame).sum(axis=2)
+            rms = np.sqrt(sq / float(frame))
+            yield pd.DataFrame({"media_id": ids,
+                                "rms_list": list(rms)})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("rms_list", T.ArrayType(T.DoubleType()), False)])
     ev = _t(spark, sf_dir, "events")
-    samples = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: ((F.col("event_id") * 31 + j * 17) % 20011 - 10005)
-        .cast("int"))
-    media = ev.select(F.col("event_id").alias("media_id"),
-                      pcm16_pack_udf(samples).alias("payload"))
-    out = audio_frame_rms(media, frame=16)
-    return out.select("media_id", "frame_no",
-                      F.round("rms", 6).alias("rms"))
+    out = (ev.select(F.col("event_id").alias("media_id"))
+           .mapInPandas(gen, schema=schema))
+    return out.select("media_id",
+                      F.posexplode("rms_list").alias("frame_no", "rms")) \
+        .select("media_id", "frame_no", F.round("rms", 6).alias("rms"))
 
 
 def q_hopping_window(spark, sf_dir):
@@ -1159,21 +1193,51 @@ def q_image_features(spark, sf_dir):
     from the same integer recurrence WITHOUT the binary round-trip — any
     header/raster/rescale/luma bug mismatches. All fractions are k/64
     (exact in float32 and in 6-dp rounding), so values are
-    engine-independent."""
-    from search_engine_tr_spark.operators.multimodal import (extract_features,
-                                                             ppm_pack_udf)
+    engine-independent.
 
+    Optimization round 6 (guide §4): pixel generation + PPM pack + decode
+    + histogram are FUSED into one mapInPandas pass over (media_id) only.
+    The round-5 shape built a 192-int array per row in the JVM, shipped it
+    to Python for ``ppm_pack_udf``, shipped the packed bytes back to the
+    JVM, then shipped them to Python AGAIN for ``extract_features`` —
+    three Arrow transfers of ~800 B/row. The binary round-trip itself is
+    unchanged and real: each row still becomes the exact ``encode_ppm``
+    P6 byte string and is decoded by the exact same batch kernel
+    (``operators.multimodal._image_features_batch`` — header regex parse,
+    integer-luma bincount, float32 fractions)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from search_engine_tr_spark.operators.multimodal import \
+        _image_features_batch
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(64, dtype=np.int64)
+        hdr = b"P6 8 8 255\n"  # exactly what encode_ppm writes for 8x8
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy(np.int64)
+            rgb = np.empty((len(ids), 64, 3), dtype=np.int64)
+            rgb[:, :, 0] = (ids[:, None] * 31 + j * 7) % 256
+            rgb[:, :, 1] = (ids[:, None] * 17 + j * 13) % 256
+            rgb[:, :, 2] = (ids[:, None] * 7 + j * 29) % 256
+            mat8 = rgb.reshape(len(ids), -1).astype(np.uint8)
+            payloads = [hdr + row.tobytes() for row in mat8]
+            feats = _image_features_batch(payloads)
+            yield pd.DataFrame({
+                "media_id": ids,
+                "n_bytes": np.full(len(ids), len(hdr) + 192, dtype=np.int32),
+                "features": [f.tolist() for f in feats]})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False)])
     ev = _t(spark, sf_dir, "events")
-    rgb = F.flatten(F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: F.array(
-            ((F.col("event_id") * 31 + j * 7) % 256).cast("int"),
-            ((F.col("event_id") * 17 + j * 13) % 256).cast("int"),
-            ((F.col("event_id") * 7 + j * 29) % 256).cast("int"))))
-    media = ev.select(F.col("event_id").alias("media_id"),
-                      F.lit("image").alias("kind"),
-                      ppm_pack_udf(rgb, F.lit(8), F.lit(8)).alias("payload"))
-    feats = extract_features(media)
+    feats = (ev.select(F.col("event_id").alias("media_id"))
+             .mapInPandas(gen, schema=schema))
     return (feats.select("media_id", "n_bytes",
                          F.posexplode("features").alias("bin_no", "frac"))
             .select("media_id", "n_bytes", "bin_no",
