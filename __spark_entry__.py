@@ -594,7 +594,9 @@ def q_lang_id_ngram(spark, sf_dir):
     """Character-trigram language ID (n-gram profile heuristic)."""
     from search_engine_tr_spark.operators.textstats import lang_id_ngram
 
-    return (lang_id_ngram(_t(spark, sf_dir, "documents"))
+    # project to the text column first: the classifier is an opaque Python
+    # pass, so Spark can't prune what it doesn't see (guide §4.1)
+    return (lang_id_ngram(_t(spark, sf_dir, "documents").select("text"))
             .groupBy("lang_pred").agg(F.count("*").cast("long").alias("n")))
 
 

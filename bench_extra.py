@@ -40,6 +40,7 @@ def main() -> None:
     out: dict[str, float] = {}
     for name in names:
         spark.sparkContext.setJobDescription(f"{mode}:{name}")
+        t0 = time.monotonic()
         df = qreg[name](spark, SF_DIR)
         if mode == "plan":
             os.makedirs(PLAN_DIR, exist_ok=True)
@@ -50,7 +51,6 @@ def main() -> None:
                 f.write(txt)
             print(f"wrote {path}")
             continue
-        t0 = time.monotonic()
         if mode == "noop":
             df.write.format("noop").mode("overwrite").save()
         elif mode == "coll":

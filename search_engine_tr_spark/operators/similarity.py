@@ -151,13 +151,20 @@ def pairwise_cosine_dupes(df: DataFrame, threshold: float = 0.95,
                 n_hot, max_bucket_size)
         b = (b.join(F.broadcast(sizes.filter(F.col("_bsz") <= max_bucket_size)
                                 .select("_bucket")), "_bucket", "left_semi"))
-    x = b.select(F.col(id_col).alias("id_a"),
-                 F.col(vec_col).alias("v_a"), "_bucket")
-    y = b.select(F.col(id_col).alias("id_b"),
-                 F.col(vec_col).alias("v_b"), "_bucket")
+    # Round-6 (guide §2.3/§4.2): cast to array<double> and take each
+    # vector's norm ONCE per row before the bucket self-join — the
+    # round-5 shape recomputed cast+norm per CANDIDATE PAIR (a vector in
+    # p pairs paid its norm aggregate p times), tripling the per-pair
+    # array work. cosine = dot/(norm_a*norm_b) is the same expression on
+    # the same doubles, so values are bit-identical.
+    bd = b.withColumn("_vd", F.col(vec_col).cast("array<double>"))
+    bd = bd.withColumn("_nrm", _norm(F.col("_vd")))
+    x = bd.select(F.col(id_col).alias("id_a"), F.col("_vd").alias("v_a"),
+                  F.col("_nrm").alias("n_a"), "_bucket")
+    y = bd.select(F.col(id_col).alias("id_b"), F.col("_vd").alias("v_b"),
+                  F.col("_nrm").alias("n_b"), "_bucket")
     cand = x.join(y, "_bucket").filter(F.col("id_a") < F.col("id_b"))
-    va = F.col("v_a").cast("array<double>")
-    vb = F.col("v_b").cast("array<double>")
-    return (cand.withColumn("cosine", _dot(va, vb) / (_norm(va) * _norm(vb)))
+    return (cand.withColumn("cosine", _dot(F.col("v_a"), F.col("v_b"))
+                            / (F.col("n_a") * F.col("n_b")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

@@ -9,8 +9,10 @@ gate.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # high-frequency function words (public knowledge)
 TR_STOPWORDS = [
@@ -109,44 +111,89 @@ def char_trigrams(text: Column) -> Column:
         .otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
+# ---------------------------------------------------------------------------
+# vectorized trigram kernel (optimization round 6, guide §4.2)
+#
+# The round-5 shape materialized every document's trigram array as JVM
+# strings (one substr per position) and, for entropy, exploded ~n rows per
+# doc through a hash-aggregate shuffle. Both consumers below now hand the
+# JVM-normalized string to ONE mapInPandas pass that packs each trigram's
+# three codepoints into a single uint64 (21 bits/codepoint — Unicode max
+# is 0x10FFFF) and counts with numpy over the whole Arrow batch: no
+# per-trigram string objects, no shuffle. Normalization (lower +
+# \s+ collapse) STAYS in the JVM so regex/locale semantics are unchanged.
+# ---------------------------------------------------------------------------
+
+def _pack_trigrams_batch(texts: list):
+    """Normalized strings → (codes: uint64 packed trigrams, doc_idx: which
+    input string each code came from, n_tri: trigram count per string).
+    Strings shorter than 3 codepoints contribute zero trigrams (the
+    ``char_trigrams`` rule); None counts as empty."""
+    texts = ["" if t is None else t for t in texts]
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                       count=len(texts))
+    n_tri = np.maximum(lens - 2, 0)
+    total = int(n_tri.sum())
+    if total == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64), n_tri)
+    cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                       dtype="<u4").astype(np.uint64)
+    offs = np.cumsum(lens) - lens          # start offset of each string
+    doc_idx = np.repeat(np.arange(len(texts)), n_tri)
+    first = np.cumsum(n_tri) - n_tri       # first output slot of each doc
+    starts = (np.arange(total) - np.repeat(first, n_tri)
+              + np.repeat(offs, n_tri))
+    codes = ((cp[starts] << np.uint64(42))
+             | (cp[starts + 1] << np.uint64(21)) | cp[starts + 2])
+    return codes, doc_idx, n_tri
+
+
+def _pack_trigram_literals(trigrams: list[str]) -> np.ndarray:
+    """The same uint64 packing for literal 3-char profile entries."""
+    return np.array(sorted((ord(t[0]) << 42) | (ord(t[1]) << 21) | ord(t[2])
+                           for t in trigrams), dtype=np.uint64)
+
+
 def lang_id_ngram(df: DataFrame, text_col: str = "text",
                   out: str = "lang_pred") -> DataFrame:
     """Character-trigram language ID — the n-gram upgrade of the stopword
     heuristic (robust to short/no-stopword text): 'tr' / 'en' / 'unknown'
     by profile-hit ratio with a 1% floor.
 
-    Plan shape (the O(n²)-per-doc fix): three staged projections —
-    (1) normalize the string ONCE, (2) build the trigram array ONCE from
-    that attribute, (3) take the three counts from the array attribute —
-    so the regexp runs once per row and each trigram is a 3-char substr of
-    a stored string. CollapseProject keeps the stages separate because the
-    staged aliases are non-cheap and multiply-referenced."""
-    names = {b: _fresh(df, b)
-             for b in ("_lng_s", "_lng_tg", "_lng_n", "_lng_tr", "_lng_en")}
-    staged = (df
-              .withColumn(names["_lng_s"],
-                          F.regexp_replace(F.lower(F.col(text_col)),
-                                           r"\s+", " "))
-              .withColumn(names["_lng_tg"],
-                          char_trigrams(F.col(names["_lng_s"])))
-              .withColumn(names["_lng_n"], F.size(names["_lng_tg"]))
-              .withColumn(names["_lng_tr"],
-                          F.size(F.filter(F.col(names["_lng_tg"]),
-                                          lambda t: t.isin(TR_TRIGRAMS))))
-              .withColumn(names["_lng_en"],
-                          F.size(F.filter(F.col(names["_lng_tg"]),
-                                          lambda t: t.isin(EN_TRIGRAMS)))))
-    n = F.col(names["_lng_n"])
-    trh = F.col(names["_lng_tr"])
-    enh = F.col(names["_lng_en"])
-    return (staged
-            .withColumn(
-                out,
-                F.when(n == 0, F.lit("unknown"))
-                 .when((trh > enh) & (trh / n > 0.01), F.lit("tr"))
-                 .when((enh > trh) & (enh / n > 0.01), F.lit("en"))
-                 .otherwise(F.lit("unknown")))
-            .drop(*names.values()))
+    Round-6 shape: normalization in the JVM (regex semantics unchanged),
+    then one mapInPandas pass counts TR/EN profile hits against the packed
+    trigram codes of each Arrow batch (``_pack_trigrams_batch`` — no
+    per-trigram JVM strings, no isin filter over a materialized array).
+    The decision rule is the exact int/double math of the round-5 column
+    expression (hits/n in IEEE double, same comparisons)."""
+    sname = _fresh(df, "_lng_s")
+    staged = df.withColumn(sname,
+                           F.regexp_replace(F.lower(F.col(text_col)),
+                                            r"\s+", " "))
+    out_schema = T.StructType(list(df.schema.fields)
+                              + [T.StructField(out, T.StringType(), False)])
+    cols = [f.name for f in df.schema.fields]
+    tr_set = _pack_trigram_literals(TR_TRIGRAMS)
+    en_set = _pack_trigram_literals(EN_TRIGRAMS)
+
+    def run(batches):
+        for pdf in batches:
+            codes, doc_idx, n_tri = _pack_trigrams_batch(list(pdf[sname]))
+            nd = len(pdf)
+            trh = np.bincount(doc_idx[np.isin(codes, tr_set)], minlength=nd)
+            enh = np.bincount(doc_idx[np.isin(codes, en_set)], minlength=nd)
+            pred = np.full(nd, "unknown", dtype=object)
+            nz = n_tri > 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rt = np.where(nz, trh / n_tri, 0.0)
+                re_ = np.where(nz, enh / n_tri, 0.0)
+            pred[nz & (trh > enh) & (rt > 0.01)] = "tr"
+            pred[nz & (enh > trh) & (re_ > 0.01)] = "en"
+            res = pdf[cols].copy()
+            res[out] = pred
+            yield res
+
+    return staged.mapInPandas(run, schema=out_schema)
 
 
 def quality_score(df: DataFrame, text_col: str = "text",
@@ -190,19 +237,46 @@ def char_trigram_entropy(df: DataFrame, text_col: str = "text",
     chars produce no trigrams and drop out (same rule as the SQL oracle's
     unnest of an empty list).
 
-    Shape: explode → two-level aggregate with map-side partial combine;
-    H = log2(N) − Σ c·log2(c) / N avoids materializing per-doc
-    probability vectors."""
+    Round-6 shape (guide §4.2/§2.4): normalization in the JVM, then ONE
+    map-only mapInPandas pass — trigrams packed to uint64 codes
+    (``_pack_trigrams_batch``), per-doc counts from a single lexsort +
+    run-length pass over the Arrow batch, H = log2(N) − Σ c·log2(c) / N
+    in float64. The round-5 shape exploded ~n trigram STRINGS per doc
+    through a two-level hash-aggregate (one wide shuffle of the whole
+    trigram stream); this computes the same per-doc count multisets with
+    zero shuffle and no per-trigram objects. Values agree with both the
+    old plan and DuckDB's native entropy() at the gate's 6-dp rounding
+    (summation order differs only at ~1e-12, as it already did between
+    engines)."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType
     staged = df.select(
-        F.col(id_col),
+        F.col(id_col).alias("_id"),
         F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_s"))
-    ex = staged.select(id_col,
-                       F.explode(char_trigrams(F.col("_s"))).alias("_t"))
-    counts = ex.groupBy(id_col, "_t").agg(F.count("*").alias("_c"))
-    n = F.sum("_c")
-    return (counts.groupBy(id_col)
-            .agg((F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n)
-                 .alias(out)))
+    schema = T.StructType([T.StructField(id_col, id_type, False),
+                           T.StructField(out, T.DoubleType(), False)])
+
+    def run(batches):
+        for pdf in batches:
+            codes, doc_idx, n_tri = _pack_trigrams_batch(list(pdf["_s"]))
+            if codes.size == 0:
+                continue
+            order = np.lexsort((codes, doc_idx))
+            d_s, c_s = doc_idx[order], codes[order]
+            new = np.concatenate(
+                ([True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])))
+            counts = np.bincount(np.cumsum(new) - 1)  # per (doc, trigram)
+            gdoc = d_s[new]                           # doc of each group
+            s = np.bincount(gdoc, weights=counts * np.log2(counts),
+                            minlength=len(pdf))
+            keep = n_tri > 0
+            nn = n_tri[keep].astype(np.float64)
+            ent = np.log2(nn) - s[keep] / nn
+            yield pd.DataFrame({id_col: pdf["_id"].to_numpy()[keep],
+                                out: ent})
+
+    return staged.mapInPandas(run, schema=schema)
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text",

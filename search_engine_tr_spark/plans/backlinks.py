@@ -96,7 +96,12 @@ def refresh_domain_scores(spark: SparkSession, index_dir: str,
         return hashlib.sha1(_json.dumps(files).encode()).hexdigest()[:16]
 
     def _full(files: list[str]) -> dict:
-        links = spark.read.parquet(paths.links)
+        # read exactly the LISTED files, not the directory: a concurrent
+        # ingest may append link files between the listing and this read,
+        # and folding them while absent from meta.files would double-count
+        # them on the next delta run (ADVICE r5 #1)
+        links = spark.read.parquet(*files) if files \
+            else spark.read.parquet(paths.links).limit(0)
         scores = domain_scores_from_links(links, mode, damping, max_iter) \
             .localCheckpoint()
         # gen FIRST: poisons the write window (see docstring)

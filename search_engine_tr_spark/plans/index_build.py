@@ -114,6 +114,36 @@ def postings_from_occurrences(occ: DataFrame, doc_map: DataFrame) -> DataFrame:
             ))
 
 
+def postings_from_pages(pages: DataFrame, doc_map: DataFrame) -> DataFrame:
+    """Same result as ``postings_from_occurrences(occurrences_from_pages(
+    pages), doc_map)``, with the doc_map join moved BEFORE tokenize +
+    explode (guide §3.3: explode before a join multiplies the shuffle).
+    The url join now moves one row per PAGE instead of one per token
+    occurrence — ~dl× fewer join-side rows — and the only wide exchange
+    left on the occurrence stream is the groupBy(doc_id, term) partial
+    aggregation. Output is row-identical (same tokenizer, same empty-body
+    guard, same struct-sorted positions/tags)."""
+    with_ids = (pages
+                .filter(F.col("html").isNotNull())
+                .join(doc_map, "url")
+                .select("doc_id", "html"))
+    toks = with_ids.select(
+        "doc_id", F.explode(tokenize_udf(F.col("html"))).alias("t"))
+    return (toks
+            .groupBy("doc_id", F.col("t.word").alias("term"))
+            .agg(
+                F.count("*").cast("int").alias("tf"),
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("t.loc").alias("loc"),
+                    F.col("t.tag").alias("tag")))).alias("_occ"),
+            )
+            .select(
+                "doc_id", "term", "tf",
+                F.col("_occ.loc").alias("positions"),
+                F.col("_occ.tag").alias("tags"),
+            ))
+
+
 _BLOCK_SCHEMA = T.StructType([
     T.StructField("term", T.StringType(), False),
     T.StructField("term_bucket", T.IntegerType(), False),
@@ -339,8 +369,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
     if write_links:
         materialize_links(pages, paths.links)
 
-    occ = occurrences_from_pages(pages)
-    postings = postings_from_occurrences(occ, doc_map)
+    postings = postings_from_pages(pages, doc_map)
     postings.write.mode("overwrite").parquet(paths.postings)
     postings = spark.read.parquet(paths.postings)
 

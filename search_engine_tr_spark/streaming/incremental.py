@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..plans import fsio
 from ..plans.docids import assign_doc_ids
 from ..plans.index_build import IndexPaths, occurrences_from_pages, \
-    postings_from_occurrences
+    postings_from_occurrences, postings_from_pages
 
 
 def _intent_path(index_dir: str) -> str:
@@ -97,6 +97,10 @@ def _orphan_url_files(spark: SparkSession, table_dir: str,
     rows = (spark.read.parquet(table_dir)
             .select(F.input_file_name().alias("f"),
                     F.col(url_col).alias("url"))
+            # a NULL url never matches the anti-join and would flag a
+            # COMMITTED file as orphaned, deleting its good rows (ADVICE
+            # r5); ingest drops null urls at entry, but guard legacy files
+            .filter(F.col("url").isNotNull())
             .join(doc_map.select("url"), "url", "left_anti")
             .select("f").distinct().collect())
     return [r["f"] for r in rows]
@@ -220,41 +224,46 @@ def _ingest_core(spark: SparkSession, new_pages: DataFrame, index_dir: str,
                                         url_col="source_url"):
                 fsio.delete(spark, fp)
                 n_rolled_back += 1
-    if max_rows is not None:
-        # overflow probe BEFORE materializing anything: a column-pruned
-        # url-only anti-join count — a 5M-page bulk batch must not
-        # localCheckpoint its full html just to learn it needs chunking
-        # (round-5 review finding). Row count matches the full anti-join
-        # below exactly (same join, no projection-dependent rows).
-        n_probe = (new_pages.select("url")
-                   .join(doc_map.select("url"), "url", "left_anti").count())
-        if n_probe > max_rows:
-            # state is clean (any crashed attempt was rolled back above),
-            # so clear the stale marker — each chunk publishes its own —
-            # and report the rollback instead of swallowing it
-            fsio.delete(spark, intent)
-            out = {"new_docs": 0, "overflow": n_probe}
-            if n_rolled_back:
-                out["rolled_back_files"] = n_rolled_back
-            return out
+    # null-url rows are dropped at ingest entry: they can never commit
+    # (the doc_map anti-join idempotence key never matches NULL) and a
+    # companion file containing one would break the file-granularity
+    # rollback invariant (ADVICE r5)
+    new_pages = new_pages.filter(F.col("url").isNotNull())
+    # Freshness discovery in ONE column-pruned doc_map anti-join (round-6:
+    # the r5 shape ran the url-only overflow probe AND a second full-row
+    # anti-join whose count equals the probe's — ADVICE r5 #4): the url
+    # anti-join is checkpointed and counted once, serves as the overflow
+    # probe, and the full rows are then recovered by a semi-join against
+    # the (small, already-materialized) fresh-url frame — broadcastable,
+    # never a second doc_map-sized exchange.
     # localCheckpoint (not cache): appending to doc_map below invalidates
     # any cached plan that READS doc_map (recacheByPath), which would make
     # a cached anti-join silently recompute as empty — checkpointing severs
     # the path lineage instead
-    fresh = new_pages.join(doc_map.select("url"), "url", "left_anti") \
-        .localCheckpoint()
-    n_new = fresh.count()
+    fresh_urls = (new_pages.select("url")
+                  .join(doc_map.select("url"), "url", "left_anti")
+                  .localCheckpoint())
+    n_new = fresh_urls.count()
+    if max_rows is not None and n_new > max_rows:
+        # state is clean (any crashed attempt was rolled back above),
+        # so clear the stale marker — each chunk publishes its own —
+        # and report the rollback instead of swallowing it
+        fsio.delete(spark, intent)
+        out = {"new_docs": 0, "overflow": n_new}
+        if n_rolled_back:
+            out["rolled_back_files"] = n_rolled_back
+        return out
     if n_new == 0:
         # nothing uncommitted remains (any crashed attempt was rolled back
         # above, or its batch actually committed) — clear the marker
         fsio.delete(spark, intent)
         return {"new_docs": 0}
+    fresh = new_pages.join(fresh_urls, "url", "left_semi").localCheckpoint()
     new_ids = (assign_doc_ids(fresh)
                .withColumn("doc_id", F.col("doc_id") + F.lit(base + 1))
                .localCheckpoint())
     fsio.write_json(spark, intent, {"base": base, "n_new": n_new})
-    occ = occurrences_from_pages(fresh)
-    postings = postings_from_occurrences(occ, new_ids).localCheckpoint()
+    postings = postings_from_pages(fresh, new_ids).localCheckpoint()
     n_postings = postings.count()
     postings.write.mode("append").parquet(paths.postings)
     if fsio.exists(spark, paths.pages_text):
