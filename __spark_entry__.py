@@ -42,6 +42,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor for compute-heavy queries (guide §2.5): the
+    fixture tables are single-row-group parquet files — unsplittable, so
+    the whole scan stage (and any map-side kernel behind it) otherwise
+    runs in ONE task. No-op when the input is already split (real scale).
+    Callers project first so the one-off exchange moves only the needed
+    columns."""
+    from search_engine_tr_spark.session import ensure_scan_parallelism
+    return ensure_scan_parallelism(df)
+
+
 def _scratch_dir(prefix: str) -> str:
     """mkdtemp + atexit rmtree: unique per invocation (parallel-harness
     safe) AND reclaimed when this process exits, so repeated gate runs
@@ -78,11 +89,55 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks
 
 
+_POSTINGS_SCHEMA = "doc_id long, term string, tf long"
+
+
+def _postings_batches(batches):
+    """Arrow kernel for the tokenizer-only postings path (optimization
+    round 6, guide §4.2/§2.4): per-doc term counts computed INSIDE each
+    scan batch — RE2 regex split + dictionary-encode in Arrow C++, one
+    np.unique over (row, term-code) int64 keys — so the flat postings
+    stream never crosses a shuffle (the round-5 shape exploded one row
+    per token into a wide groupBy). Tokens are [a-z0-9]+ runs by
+    construction, so utf8_lower/RE2 agree with the JVM lower/split this
+    replaces on any input (non-ASCII codepoints are split away as
+    separators either way). Module-level on purpose: both gate entries
+    pickle the identical function reference, so their plans canonicalize
+    equal and q_bm25_docs's cache keeps being shared across gates."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        ids = batch.column(0).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(1)), _TOKEN_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        kmask = keep.to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(flat.filter(keep))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = (parent[kmask].astype(np.int64) << np.int64(32)) | codes
+        uniq, counts = np.unique(packed, return_counts=True)
+        term_arr = enc.dictionary.take(
+            pa.array((uniq & 0xFFFFFFFF).astype(np.int32)))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids[(uniq >> 32).astype(np.int64)], type=pa.int64()),
+             term_arr.cast(pa.string()),
+             pa.array(counts.astype(np.int64))],
+            ["doc_id", "term", "tf"])
+
+
+def _postings_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) from a documents frame via the Arrow kernel."""
+    return (_widen(docs.select("doc_id", "text"))
+            .mapInArrow(_postings_batches, _POSTINGS_SCHEMA))
+
+
 def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2: flat postings (doc_id, term, tf) from the documents table."""
-    return (_doc_tokens(spark, sf_dir)
-            .groupBy("doc_id", "term")
-            .agg(F.count("*").cast("long").alias("tf")))
+    return _postings_df(_t(spark, sf_dir, "documents"))
 
 
 _BM25_TERMS = ("join", "vector", "customer")
@@ -708,7 +763,7 @@ def q_audio_rms(spark, sf_dir):
         T.StructField("media_id", T.LongType(), False),
         T.StructField("rms_list", T.ArrayType(T.DoubleType()), False)])
     ev = _t(spark, sf_dir, "events")
-    out = (ev.select(F.col("event_id").alias("media_id"))
+    out = (_widen(ev.select(F.col("event_id").alias("media_id")))
            .mapInPandas(gen, schema=schema))
     return out.select("media_id",
                       F.posexplode("rms_list").alias("frame_no", "rms")) \
@@ -818,14 +873,7 @@ def q_incremental_postings(spark, sf_dir):
     # DataFrame is lazy and the driver collects it after we return)
     out = _scratch_dir("graft_incr_postings_") + "/postings"
     docs = _t(spark, sf_dir, "documents")
-
-    def postings_of(d: DataFrame) -> DataFrame:
-        toks = d.select(
-            "doc_id",
-            F.explode(F.filter(F.split(F.lower("text"), _TOKEN_RE),
-                               lambda w: w != "")).alias("term"))
-        return (toks.groupBy("doc_id", "term")
-                .agg(F.count("*").cast("long").alias("tf")))
+    postings_of = _postings_df  # shared Arrow kernel (see q_postings)
 
     postings_of(docs.filter(F.col("doc_id") < 350)) \
         .write.mode("overwrite").parquet(out)
@@ -1125,7 +1173,7 @@ def q_phrase_search(spark, sf_dir):
     from search_engine_tr_spark.operators.phrase import phrase_match
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = _widen(docs.select("doc_id", "text")).select(
         "doc_id",
         F.posexplode(F.filter(F.split(F.lower("text"), _TOKEN_RE),
                               lambda w: w != "")).alias("pos", "term"))
@@ -1238,7 +1286,7 @@ def q_image_features(spark, sf_dir):
         T.StructField("n_bytes", T.IntegerType(), False),
         T.StructField("features", T.ArrayType(T.FloatType()), False)])
     ev = _t(spark, sf_dir, "events")
-    feats = (ev.select(F.col("event_id").alias("media_id"))
+    feats = (_widen(ev.select(F.col("event_id").alias("media_id")))
              .mapInPandas(gen, schema=schema))
     return (feats.select("media_id", "n_bytes",
                          F.posexplode("features").alias("bin_no", "frac"))

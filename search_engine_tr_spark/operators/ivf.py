@@ -30,6 +30,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_scan_parallelism as _widen
 from .similarity import _dot, _norm
 
 
@@ -56,7 +57,10 @@ def kmeans_centroids(df: DataFrame, k: int = 16, max_iter: int = 5,
     ``fit_fraction`` fits on a deterministic md5-ordered prefix sample —
     the 100-TB path (the codebook needs a sample, not the corpus)."""
     v = F.col(vec_col).cast("array<double>")
-    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    # widen BEFORE the cache: a single-row-group input would otherwise pin
+    # every Lloyd's iteration's argmax-cosine pass to one cached partition
+    # (guide §2.5; no-op on an already-split input)
+    base = _widen(df.select(F.col(id_col).alias("_id"), v.alias("_v")))
     if fit_fraction is not None:
         n = base.count()
         base = (base.orderBy(F.md5(F.col("_id").cast("string")))
@@ -118,7 +122,7 @@ def ivf_cosine_topk(df: DataFrame, query_vec: list[float],
     order = sorted(range(len(centroids)),
                    key=lambda i: (-cos(centroids[i]), i))
     probe = order[:max(1, n_probe)]
-    cand = (ivf_assign(df, centroids, vec_col)
+    cand = (ivf_assign(_widen(df), centroids, vec_col)
             .filter(F.col("cluster").isin(probe)))
     scored = with_cosine(cand, query_vec, vec_col)
     if round_dp is not None:

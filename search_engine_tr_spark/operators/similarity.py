@@ -21,6 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_scan_parallelism as _widen
 from .dedup import DEFAULT_MAX_BUCKET_SIZE
 
 
@@ -52,7 +53,10 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     ``round_dp`` rounds the cosine BEFORE ordering (and returns the rounded
     value) so the top-k boundary tie-break matches an engine that orders by
     the rounded output column (the DuckDB gate does: ORDER BY the alias)."""
-    scored = with_cosine(df, query_vec, vec_col)
+    # guide §2.5: the fixture embeddings table is one unsplittable parquet
+    # row group — widen so the per-row dot/norm array math parallelizes
+    # (no-op on an already-split input)
+    scored = with_cosine(_widen(df), query_vec, vec_col)
     if round_dp is not None:
         scored = scored.withColumn("cosine", F.round("cosine", round_dp))
     return (scored
@@ -108,7 +112,7 @@ def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     dim = len(query_vec)
     planes = _planes(dim, n_planes, seed)
     qbits = query_bucket_bits(query_vec, planes)
-    bucketed = df.withColumn(
+    bucketed = _widen(df).withColumn(
         "_bucket", _bucket_col(F.col(vec_col).cast("array<double>"), planes))
     probe = bucketed.filter(
         F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbits))) <= multiprobe)
@@ -134,7 +138,7 @@ def pairwise_cosine_dupes(df: DataFrame, threshold: float = 0.95,
     guard for near-constant corpora where one sign-pattern absorbs most
     vectors); dropped-bucket count is logged — never silently capped."""
     planes = _planes(df.select(F.size(vec_col)).first()[0], n_planes, seed)
-    b = df.withColumn(
+    b = _widen(df).withColumn(
         "_bucket", _bucket_col(F.col(vec_col).cast("array<double>"), planes))
     if max_bucket_size is not None:
         # localCheckpoint: reused by the count and the keep-join — avoids

@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import ensure_scan_parallelism as _widen
+
 # high-frequency function words (public knowledge)
 TR_STOPWORDS = [
     "ve", "bir", "bu", "da", "de", "için", "ile", "çok", "daha", "gibi",
@@ -32,7 +34,7 @@ def words_col(text: Column) -> Column:
 
 def token_count(df: DataFrame, text_col: str = "text",
                 out: str = "n_tokens") -> DataFrame:
-    return df.withColumn(out, F.size(words_col(F.col(text_col))))
+    return _widen(df).withColumn(out, F.size(words_col(F.col(text_col))))
 
 
 def bpe_ish_token_count(df: DataFrame, text_col: str = "text",
@@ -45,7 +47,7 @@ def bpe_ish_token_count(df: DataFrame, text_col: str = "text",
     per_word = F.aggregate(
         words, F.lit(0),
         lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"))
-    return df.withColumn(out, per_word)
+    return _widen(df).withColumn(out, per_word)
 
 
 def _ratio_in(words: Column, vocab: list[str]) -> Column:
@@ -71,7 +73,7 @@ def lang_id(df: DataFrame, text_col: str = "text",
     inside/around higher-order-function lambdas; CollapseProject keeps a
     non-cheap multiply-referenced alias in its own project)."""
     wname = _fresh(df, "_li_w")
-    staged = df.withColumn(wname, words_col(F.col(text_col)))
+    staged = _widen(df).withColumn(wname, words_col(F.col(text_col)))
     w = F.col(wname)
     tr = _ratio_in(w, TR_STOPWORDS)
     en = _ratio_in(w, EN_STOPWORDS)
@@ -167,7 +169,7 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text",
     The decision rule is the exact int/double math of the round-5 column
     expression (hits/n in IEEE double, same comparisons)."""
     sname = _fresh(df, "_lng_s")
-    staged = df.withColumn(sname,
+    staged = _widen(df).withColumn(sname,
                            F.regexp_replace(F.lower(F.col(text_col)),
                                             r"\s+", " "))
     out_schema = T.StructType(list(df.schema.fields)
@@ -205,7 +207,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     no-CSE reasoning as lang_id): one split per row instead of one per
     score component."""
     wname = _fresh(df, "_q_w")
-    df = df.withColumn(wname, words_col(F.col(text_col)))
+    df = _widen(df).withColumn(wname, words_col(F.col(text_col)))
     text = F.col(text_col)
     w = F.col(wname)
     n_chars = F.length(text)
@@ -251,7 +253,7 @@ def char_trigram_entropy(df: DataFrame, text_col: str = "text",
     import pandas as pd
 
     id_type = df.schema[id_col].dataType
-    staged = df.select(
+    staged = _widen(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_s"))
     schema = T.StructType([T.StructField(id_col, id_type, False),
@@ -283,4 +285,4 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     out: str = "fingerprint") -> DataFrame:
     """Whitespace-normalized md5 fingerprint (near-whitespace-invariant)."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    return df.withColumn(out, F.md5(norm))
+    return _widen(df).withColumn(out, F.md5(norm))

@@ -50,7 +50,7 @@ from ..functions.text import (extract_links_udf, extract_meta_udf,
 from ..oracle.refscore import BM25_B, BM25_K1
 from . import fsio
 from .docids import assign_doc_ids
-from .stats import corpus_stats, doc_lengths, term_stats
+from .stats import corpus_stats, doc_lengths
 
 
 @dataclass
@@ -355,6 +355,13 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
     paths = IndexPaths(out_dir)
     t0 = time.monotonic()
 
+    # guide §2.5: an under-split pages input (e.g. one unsplittable parquet
+    # row group) would pin every UDF stage below — extract, tokenize, link
+    # parse — to one task; the widen is a no-op when pages is already
+    # split, i.e. on any real corpus
+    from ..session import ensure_scan_parallelism
+    pages = ensure_scan_parallelism(pages)
+
     if write_text:
         (pages.select("url", extract_text_udf(F.col("html")).alias("text"),
                       "lang")
@@ -378,15 +385,6 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
     doclens = doc_lengths(postings).cache()
     stats = corpus_stats(doclens)
 
-    # partitioned by term_bucket: a query's df/idf lookup prunes to its
-    # terms' buckets instead of scanning every term row (at 10^12 docs
-    # term_stats is itself hundreds of millions of rows)
-    tstats = (term_stats(postings)
-              .withColumn("term_bucket",
-                          F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")))
-    tstats.write.mode("overwrite").partitionBy("term_bucket") \
-        .parquet(paths.term_stats)
-
     block_fn = {"group": build_blocks, "sorted": build_blocks_sorted}[packer]
     blocks = block_fn(postings, doclens, stats.avgdl, n_shards, term_buckets)
     (blocks.write.mode("overwrite")
@@ -394,13 +392,30 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
      .parquet(paths.blocks))
     doclens.unpersist()
 
+    # term_stats derived FROM the written blocks table (round 6, guide
+    # §2.3): every posting of a term lands in exactly one block, so
+    # df = Σ block.n — grouping the blocks table (one row per
+    # term×shard×block, ≪ postings rows) replaces a second full-postings
+    # aggregate pass, and term_stats can never disagree with the blocks it
+    # serves. Partitioned by term_bucket: a query's df/idf lookup prunes
+    # to its terms' buckets instead of scanning every term row (at 10^12
+    # docs term_stats is itself hundreds of millions of rows).
+    tstats = (spark.read.parquet(paths.blocks)
+              .groupBy("term", "term_bucket")
+              .agg(F.sum("n").cast("long").alias("df"))
+              .select("term", "df", "term_bucket"))
+    tstats.write.mode("overwrite").partitionBy("term_bucket") \
+        .parquet(paths.term_stats)
+
     elapsed = time.monotonic() - t0
     n_pages = stats.n_docs  # every non-empty page is a doc
     # n_pages_mapped counts doc_map rows, which INCLUDES zero-token pages
     # (in doc_map but never in postings) — it is the convergent staleness
     # sentinel for incremental ingest, where postings-derived n_docs is not
-    n_pages_mapped = doc_map.count()
-    _dm_max = doc_map.agg(F.max("doc_id")).collect()[0][0]
+    _dm_row = doc_map.agg(F.count("*").alias("n"),
+                          F.max("doc_id").alias("mx")).collect()[0]
+    n_pages_mapped = int(_dm_row["n"])
+    _dm_max = _dm_row["mx"]
     metrics = {
         "n_docs": stats.n_docs,
         "n_pages_mapped": n_pages_mapped,

@@ -12,6 +12,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_scan_parallelism(df, min_parts: int | None = None):
+    """Round-robin repartition when the input is under-split — the guide
+    §2.5 remedy for unsplittable inputs ("one huge unsplittable file …
+    repartition immediately after the read"). A parquet file is split by
+    BYTE RANGE, but a range only parallelizes across row groups: a
+    single-row-group file always lands in one task no matter how small
+    ``maxPartitionBytes`` is, so any expensive per-row stage behind it
+    (tokenizers, Arrow kernels, HOF array math) runs on one core.
+
+    Scale-adaptive by construction: the floor is the session's default
+    parallelism, so a real multi-file/multi-row-group table (the 100 TB
+    case) already exceeds it and the call is a NO-OP — no exchange is
+    added. Callers project to the needed columns first so the one-off
+    shuffle moves only those bytes."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(app: str = "search-engine-tr-spark", cores: int | None = None,
               shuffle_partitions: int | None = None, extra: dict | None = None
               ) -> SparkSession:

@@ -258,7 +258,12 @@ def _ingest_core(spark: SparkSession, new_pages: DataFrame, index_dir: str,
         # above, or its batch actually committed) — clear the marker
         fsio.delete(spark, intent)
         return {"new_docs": 0}
-    fresh = new_pages.join(fresh_urls, "url", "left_semi").localCheckpoint()
+    # widen before the checkpoint: a 1-partition pages scan semi-joined
+    # against a broadcast url frame stays 1 partition, which would pin the
+    # tokenize stage to one task (guide §2.5; no-op at real scale)
+    from ..session import ensure_scan_parallelism
+    fresh = ensure_scan_parallelism(
+        new_pages.join(fresh_urls, "url", "left_semi")).localCheckpoint()
     new_ids = (assign_doc_ids(fresh)
                .withColumn("doc_id", F.col("doc_id") + F.lit(base + 1))
                .localCheckpoint())
@@ -308,28 +313,34 @@ def rebuild_derived(spark: SparkSession, index_dir: str,
     surviving ``_ingest_intent.json`` stays live so the replay still
     performs its file-exact rollback."""
     from ..plans.index_build import build_blocks
-    from ..plans.stats import corpus_stats, doc_lengths, term_stats
+    from ..plans.stats import corpus_stats, doc_lengths
 
     paths = IndexPaths(index_dir)
     meta = fsio.read_json(spark, paths.meta)
     n_shards = n_shards or int(meta.get("n_shards", 32))
     term_buckets = term_buckets or int(meta.get("term_buckets", 64))
     doc_map = spark.read.parquet(paths.doc_map)
-    _dm_max = doc_map.agg(F.max("doc_id")).collect()[0][0]
+    _dm_row = doc_map.agg(F.count("*").alias("n"),
+                          F.max("doc_id").alias("mx")).collect()[0]
+    _dm_max = _dm_row["mx"]
     committed_max = -1 if _dm_max is None else int(_dm_max)
     postings = (spark.read.parquet(paths.postings)
                 .filter(F.col("doc_id") <= F.lit(committed_max)))
     doclens = doc_lengths(postings).cache()
     stats = corpus_stats(doclens)
-    ts = (term_stats(postings)
-          .withColumn("term_bucket",
-                      F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")))
-    ts.write.mode("overwrite").partitionBy("term_bucket") \
-        .parquet(paths.term_stats)
     blocks = build_blocks(postings, doclens, stats.avgdl, n_shards, term_buckets)
     blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(paths.blocks)
     doclens.unpersist()
-    n_pages_mapped = doc_map.count()
+    # term_stats derived from the written blocks (df = Σ block.n — one
+    # pass over the compact blocks table instead of a second full-postings
+    # aggregate; see build_index)
+    ts = (spark.read.parquet(paths.blocks)
+          .groupBy("term", "term_bucket")
+          .agg(F.sum("n").cast("long").alias("df"))
+          .select("term", "df", "term_bucket"))
+    ts.write.mode("overwrite").partitionBy("term_bucket") \
+        .parquet(paths.term_stats)
+    n_pages_mapped = int(_dm_row["n"])
     meta.update({"n_docs": stats.n_docs, "avgdl": stats.avgdl,
                  "total_postings": stats.total_postings,
                  "n_pages_mapped": n_pages_mapped,
@@ -396,8 +407,10 @@ def refresh_derived_delta(spark: SparkSession, index_dir: str) -> dict:
                                     col="gen"):
             fsio.delete(spark, fp)
     doc_map = spark.read.parquet(paths.doc_map)
-    n_pages_mapped = doc_map.count()
-    _dm_max = doc_map.agg(F.max("doc_id")).collect()[0][0]
+    _dm_row = doc_map.agg(F.count("*").alias("n"),
+                          F.max("doc_id").alias("mx")).collect()[0]
+    n_pages_mapped = int(_dm_row["n"])
+    _dm_max = _dm_row["mx"]
     new_high = max(dmax, -1 if _dm_max is None else int(_dm_max))
     # fold ONLY COMMITTED postings: ids in (dmax, doc_map max]. A crashed
     # ingest's orphan rows sit strictly ABOVE doc_map max (its doc_map
