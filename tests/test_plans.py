@@ -42,11 +42,17 @@ def test_small_dim_join_broadcasts(spark):
     assert "BroadcastHashJoin" in p
 
 
-def test_postings_agg_has_partial_pass(spark):
-    """groupBy(doc,term).count must map-side combine before the exchange."""
+def test_postings_kernel_is_map_only(spark):
+    """Round-6 postings path: per-doc term counts are computed INSIDE the
+    Arrow scan kernel (mapInArrow), so the flat token stream never crosses
+    a shuffle — the plan must show the kernel and NO aggregate exchange
+    (the only allowed exchange is the scan-parallelism round-robin, which
+    moves one row per document, not per token)."""
     p = _plan(entry_mod.q_postings(spark, SF), mode="simple")
-    before_exchange = p.split("Exchange")[-1]  # deepest = upstream of shuffle
-    assert "partial_count" in before_exchange
+    assert "MapInArrow" in p
+    assert "HashAggregate" not in p
+    exchanges = [ln for ln in p.splitlines() if "Exchange" in ln]
+    assert all("RoundRobinPartitioning" in ln for ln in exchanges)
 
 
 def test_bm25_block_read_prunes_partitions_and_pushes_terms(
