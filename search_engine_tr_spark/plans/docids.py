@@ -24,12 +24,28 @@ from pyspark.sql import functions as F
 
 def assign_doc_ids(pages: DataFrame, url_col: str = "url",
                    num_partitions: int | None = None) -> DataFrame:
-    """→ DataFrame(url, doc_id) with dense, deterministic int64 ids."""
+    """→ DataFrame(url, doc_id) with dense, deterministic int64 ids.
+
+    Plan shape (optimization round 6, guide §2.4): the rank branch and the
+    count branch share ONE scan + distinct + hash(_pid) exchange. The
+    explicit ``repartition("_pid")`` below, plus pinning the window's
+    implicit isnotnull(_pid) filter into the shared subtree, makes both
+    branches' exchange subplans syntactically identical so ReuseExchange
+    collapses them — the pre-r6 plan scanned the pages and re-shuffled the
+    distinct urls twice (once per branch). The id formula is unchanged, so
+    assignments stay bit-identical for a given (url set, P)."""
     p = num_partitions or pages.sparkSession.sparkContext.defaultParallelism
     urls = (pages.select(F.col(url_col).alias("url"))
             .distinct()
-            .withColumn("_pid", F.pmod(F.xxhash64("url"), F.lit(p)).cast("int")))
-    # per-partition dense rank (sort only within the hash bucket)
+            .withColumn("_pid", F.pmod(F.xxhash64("url"), F.lit(p)).cast("int"))
+            # the Window below would inject exactly this filter into its
+            # own branch (breaking subtree equality with the count branch);
+            # stating it here keeps it in the SHARED prefix instead
+            .filter(F.col("_pid").isNotNull())
+            .repartition("_pid"))
+    # per-partition dense rank (sort only within the hash bucket); the
+    # repartition above already provides hashpartitioning(_pid) so the
+    # window adds no exchange of its own
     w = Window.partitionBy("_pid").orderBy("url")
     local = urls.withColumn("_local", F.row_number().over(w).cast("long") - 1)
     counts = (urls.groupBy("_pid").agg(F.count("*").alias("_cnt"))

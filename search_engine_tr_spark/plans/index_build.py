@@ -114,34 +114,78 @@ def postings_from_occurrences(occ: DataFrame, doc_map: DataFrame) -> DataFrame:
             ))
 
 
+_POSTINGS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("term", T.StringType(), False),
+    T.StructField("tf", T.IntegerType(), False),
+    T.StructField("positions", T.ArrayType(T.IntegerType(), False), False),
+    T.StructField("tags", T.ArrayType(T.StringType(), False), False),
+])
+
+
+def _postings_rows_batches(batches):
+    """mapInPandas kernel: (doc_id, html) batches → postings rows.
+
+    A document's occurrences all live in ITS OWN input row (the tokenizer
+    is per-page), so the per-(doc, term) aggregation is row-local — the
+    round-5/early-r6 shape exploded one row per occurrence and shipped the
+    whole occurrence stream (positions, tags) through a wide
+    groupBy(doc_id, term) exchange to reassemble what this kernel builds
+    in place (guide §2.4: remove shuffles outright). Occurrence order is
+    the tokenizer's global location counter (strictly increasing), so
+    per-term (loc, tag) pairs appended in emission order equal the old
+    ``sort_array(struct(loc, tag))`` output exactly. Module-level so every
+    caller pickles the identical function (plan canonicalization)."""
+    from ..oracle.htmltext import tokenize
+
+    for pdf in batches:
+        out_doc: list = []
+        out_term: list = []
+        out_tf: list = []
+        out_pos: list = []
+        out_tags: list = []
+        for did, html in zip(pdf["doc_id"], pdf["html"]):
+            if html is None:
+                continue
+            content = bytes(html).decode("utf-8", errors="ignore")
+            occ = tokenize(content)
+            if not occ:
+                continue
+            by: dict = {}
+            for word, loc, tag in occ:
+                e = by.get(word)
+                if e is None:
+                    by[word] = ([loc], [tag])
+                else:
+                    e[0].append(loc)
+                    e[1].append(tag)
+            did = int(did)
+            for word, (locs, tags) in by.items():
+                out_doc.append(did)
+                out_term.append(word)
+                out_tf.append(len(locs))
+                out_pos.append(locs)
+                out_tags.append(tags)
+        yield pd.DataFrame({"doc_id": out_doc, "term": out_term,
+                            "tf": out_tf, "positions": out_pos,
+                            "tags": out_tags})
+
+
 def postings_from_pages(pages: DataFrame, doc_map: DataFrame) -> DataFrame:
-    """Same result as ``postings_from_occurrences(occurrences_from_pages(
-    pages), doc_map)``, with the doc_map join moved BEFORE tokenize +
-    explode (guide §3.3: explode before a join multiplies the shuffle).
-    The url join now moves one row per PAGE instead of one per token
-    occurrence — ~dl× fewer join-side rows — and the only wide exchange
-    left on the occurrence stream is the groupBy(doc_id, term) partial
-    aggregation. Output is row-identical (same tokenizer, same empty-body
-    guard, same struct-sorted positions/tags)."""
+    """Same rows as ``postings_from_occurrences(occurrences_from_pages(
+    pages), doc_map)``: the doc_map join happens BEFORE tokenization (one
+    row per PAGE crosses the join, guide §3.3), and the per-(doc, term)
+    aggregation runs INSIDE the tokenize kernel (``_postings_rows_batches``)
+    — a document's occurrences are row-local, so the flat occurrence
+    stream never crosses an exchange at all (the pre-r6 shape shuffled
+    every (word, loc, tag) occurrence through a groupBy). Same tokenizer,
+    same empty-body guard, same (loc-ordered) positions/tags."""
     with_ids = (pages
                 .filter(F.col("html").isNotNull())
                 .join(doc_map, "url")
                 .select("doc_id", "html"))
-    toks = with_ids.select(
-        "doc_id", F.explode(tokenize_udf(F.col("html"))).alias("t"))
-    return (toks
-            .groupBy("doc_id", F.col("t.word").alias("term"))
-            .agg(
-                F.count("*").cast("int").alias("tf"),
-                F.sort_array(F.collect_list(F.struct(
-                    F.col("t.loc").alias("loc"),
-                    F.col("t.tag").alias("tag")))).alias("_occ"),
-            )
-            .select(
-                "doc_id", "term", "tf",
-                F.col("_occ.loc").alias("positions"),
-                F.col("_occ.tag").alias("tags"),
-            ))
+    return with_ids.mapInPandas(_postings_rows_batches,
+                                schema=_POSTINGS_SCHEMA)
 
 
 _BLOCK_SCHEMA = T.StructType([
@@ -387,7 +431,15 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
 
     block_fn = {"group": build_blocks, "sorted": build_blocks_sorted}[packer]
     blocks = block_fn(postings, doclens, stats.avgdl, n_shards, term_buckets)
-    (blocks.write.mode("overwrite")
+    # repartition ON the partitionBy key before the write (guide §6): the
+    # packer's output partitions each hold many term_buckets, so a direct
+    # partitionBy write sprays one file per (task × bucket) — measured 891
+    # files for a 12k-page build. Clustering by term_bucket first writes
+    # ONE file per bucket (packed block bytes, a cheap exchange of the
+    # already-compact payload), which every pruned query read and the
+    # term_stats derivation below then benefit from.
+    (blocks.repartition("term_bucket")
+     .write.mode("overwrite")
      .partitionBy("term_bucket")
      .parquet(paths.blocks))
     doclens.unpersist()

@@ -329,7 +329,10 @@ def rebuild_derived(spark: SparkSession, index_dir: str,
     doclens = doc_lengths(postings).cache()
     stats = corpus_stats(doclens)
     blocks = build_blocks(postings, doclens, stats.avgdl, n_shards, term_buckets)
-    blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(paths.blocks)
+    # cluster by the partition key before the write — one file per bucket
+    # instead of one per (task × bucket); see build_index
+    blocks.repartition("term_bucket") \
+        .write.mode("overwrite").partitionBy("term_bucket").parquet(paths.blocks)
     doclens.unpersist()
     # term_stats derived from the written blocks (df = Σ block.n — one
     # pass over the compact blocks table instead of a second full-postings
@@ -447,7 +450,9 @@ def refresh_derived_delta(spark: SparkSession, index_dir: str) -> dict:
     ts_delta.write.mode("append").partitionBy("term_bucket") \
         .parquet(paths.term_stats)
     blocks = build_blocks(delta, doclens, avgdl, n_shards, term_buckets)
-    blocks.write.mode("append").partitionBy("term_bucket") \
+    # one delta file per touched bucket (see build_index's clustered write)
+    blocks.repartition("term_bucket") \
+        .write.mode("append").partitionBy("term_bucket") \
         .parquet(paths.blocks)
     # COMMIT: the meta write publishes the new high-water mark; the intent
     # removal afterwards just re-arms the steady-state fast path
