@@ -440,12 +440,59 @@ def q_moving_avg(spark, sf_dir):
 
 def q_ntile_buckets(spark, sf_dir):
     """ntile(4) quartile assignment over orders by price (deterministic
-    tie-break on order key)."""
-    from pyspark.sql import Window
+    tie-break on order key).
+
+    Optimization round 6 (guide §2.5): a global ``F.ntile`` window has no
+    partition key, so WindowExec funnels EVERY row through one task — the
+    classic single-partition scale-killer (Spark itself warns). Same
+    result computed distributed: range-partition + sort on the (total)
+    order, materialize that partitioning once (localCheckpoint —
+    MEMORY_AND_DISK, spills; the range sampler is not deterministic
+    across actions, so the counts pass and the rank pass MUST read the
+    same physical partitioning), take per-partition counts (tiny), and
+    assign each row's bucket from its global rank = partition offset +
+    position, with ntile's exact remainder rule (first N%4 buckets get
+    the extra row). The (price desc, key asc) order is total (keys are
+    unique), so ranks — and therefore buckets — are identical to the
+    window's output for any partitioning."""
+    import numpy as np
+    import pandas as pd
 
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    ranged = (o.select("o_orderkey", "o_totalprice")
+              .repartitionByRange(
+                  spark.sparkContext.defaultParallelism, *order)
+              .sortWithinPartitions(*order)
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint())
+    cnts = {int(r["_pid"]): int(r["n"]) for r in
+            ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(cnts):
+        offsets[pid] = acc
+        acc += cnts[pid]
+    base, rem = divmod(acc, 4)
+    cut = rem * (base + 1)
+
+    def run(batches):
+        pos = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["_pid"].iloc[0])]
+            r = np.arange(pos, pos + len(pdf), dtype=np.int64)
+            pos += len(pdf)
+            if base == 0:  # fewer rows than buckets: row rank+1 = bucket
+                q = r + 1
+            else:
+                q = np.where(r < cut, r // (base + 1),
+                             rem + (r - cut) // base) + 1
+            yield pd.DataFrame({"o_orderkey": pdf["o_orderkey"],
+                                "quartile": q.astype("int32")})
+
+    return ranged.mapInPandas(run, schema="o_orderkey long, quartile int")
 
 
 def q_union_all(spark, sf_dir):

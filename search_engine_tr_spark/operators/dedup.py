@@ -454,21 +454,25 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         nb = (sym.join(labels.withColumnRenamed("id", "dst"), "dst")
               .groupBy(F.col("src").alias("id"))
               .agg(F.min("comp").alias("_nbmin")))
-        cand = (labels.join(nb, "id", "left")
-                .select("id", F.least("comp", "_nbmin").alias("comp")))
+        # carry the previous label through the round so convergence is a
+        # plain filter-count over the checkpointed result — the pre-r6
+        # shape re-joined new_labels against labels for the changed count,
+        # one extra shuffle join per round (guide §2.4)
+        cand = (labels.select("id", F.col("comp").alias("_old"))
+                .join(nb, "id", "left")
+                .select("id", "_old",
+                        F.least("_old", "_nbmin").alias("comp")))
         # pointer jumping: comp := min(comp, cand[comp]) — cand contains a
         # row for every node id, and comp is always a node id, so the
         # self-join resolves for every non-root label
         c2 = cand.select(F.col("id").alias("_cid"),
                          F.col("comp").alias("_ccomp"))
-        new_labels = (cand.join(c2, cand["comp"] == c2["_cid"], "left")
-                      .select("id",
-                              F.least("comp", "_ccomp").alias("comp"))
-                      .localCheckpoint())
-        changed = (new_labels.withColumnRenamed("comp", "_new")
-                   .join(labels, "id")
-                   .filter(F.col("_new") != F.col("comp")).count())
-        labels = new_labels
+        staged = (cand.join(c2, cand["comp"] == c2["_cid"], "left")
+                  .select("id", "_old",
+                          F.least("comp", "_ccomp").alias("comp"))
+                  .localCheckpoint())
+        changed = staged.filter(F.col("comp") != F.col("_old")).count()
+        labels = staged.select("id", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(

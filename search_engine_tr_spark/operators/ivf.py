@@ -38,14 +38,20 @@ def _centroid_lit(c: list[float]):
     return F.array(*[F.lit(float(x)) for x in c])
 
 
-def _cos_to(vec_col, c: list[float]):
+def _cos_to(vec_col, c: list[float], nrm_col=None):
+    """cosine(vec, c). ``nrm_col``: a pre-staged ``_norm(vec_col)`` column —
+    the k-means assignment evaluates one cosine per centroid, and Spark
+    does no CSE inside HOF lambdas, so without staging the norm aggregate
+    re-runs k× per row (guide §4.2 / the lang_id no-CSE class). The
+    expression is ``dot / (norm * cn)`` either way — bit-identical."""
     cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
-    return _dot(vec_col, _centroid_lit(c)) / (_norm(vec_col) * F.lit(cn))
+    nrm = _norm(vec_col) if nrm_col is None else nrm_col
+    return _dot(vec_col, _centroid_lit(c)) / (nrm * F.lit(cn))
 
 
-def _assign_col(vec_col, centroids: list[list[float]]):
+def _assign_col(vec_col, centroids: list[list[float]], nrm_col=None):
     """argmax-cosine cluster id (first-maximal tie-break, deterministic)."""
-    sims = F.array(*[_cos_to(vec_col, c) for c in centroids])
+    sims = F.array(*[_cos_to(vec_col, c, nrm_col) for c in centroids])
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
@@ -65,14 +71,18 @@ def kmeans_centroids(df: DataFrame, k: int = 16, max_iter: int = 5,
         n = base.count()
         base = (base.orderBy(F.md5(F.col("_id").cast("string")))
                 .limit(max(k, int(n * fit_fraction))))
-    base = base.cache()
+    # the vector norm is iteration-invariant: stage it INTO the cached
+    # frame so every Lloyd's pass (k cosines per row) reuses one stored
+    # double instead of re-running the norm aggregate k× per row
+    base = base.withColumn("_nrm", _norm(F.col("_v"))).cache()
     try:
         init = (base.orderBy(F.md5(F.col("_id").cast("string")), "_id")
                 .limit(k).collect())
         centroids = [list(r["_v"]) for r in init]
         for _ in range(max_iter):
             assigned = base.select(
-                _assign_col(F.col("_v"), centroids).alias("cluster"), "_v")
+                _assign_col(F.col("_v"), centroids,
+                            F.col("_nrm")).alias("cluster"), "_v")
             means = (assigned
                      .select("cluster", F.posexplode("_v").alias("pos", "x"))
                      .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
@@ -96,9 +106,19 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding",
                out: str = "cluster") -> DataFrame:
     """Add the coarse-quantizer cluster column (map-only; at ingest this is
-    the partitionBy key for directory-pruned ANN scans)."""
-    return df.withColumn(
-        out, _assign_col(F.col(vec_col).cast("array<double>"), centroids))
+    the partitionBy key for directory-pruned ANN scans). The cast vector
+    and its norm are staged once per row (no CSE inside HOF lambdas — the
+    pre-r6 shape re-ran both k× per row, once per centroid cosine)."""
+    vd, nrm = "_ivf_vd", "_ivf_nrm"
+    while vd in df.columns:
+        vd += "_"
+    while nrm in df.columns:
+        nrm += "_"
+    staged = (df.withColumn(vd, F.col(vec_col).cast("array<double>"))
+              .withColumn(nrm, _norm(F.col(vd))))
+    return (staged.withColumn(
+        out, _assign_col(F.col(vd), centroids, F.col(nrm)))
+        .drop(vd, nrm))
 
 
 def ivf_cosine_topk(df: DataFrame, query_vec: list[float],

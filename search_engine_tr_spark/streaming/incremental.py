@@ -258,19 +258,35 @@ def _ingest_core(spark: SparkSession, new_pages: DataFrame, index_dir: str,
         # above, or its batch actually committed) — clear the marker
         fsio.delete(spark, intent)
         return {"new_docs": 0}
-    # widen before the checkpoint: a 1-partition pages scan semi-joined
-    # against a broadcast url frame stays 1 partition, which would pin the
-    # tokenize stage to one task (guide §2.5; no-op at real scale)
-    from ..session import ensure_scan_parallelism
-    fresh = ensure_scan_parallelism(
-        new_pages.join(fresh_urls, "url", "left_semi")).localCheckpoint()
-    new_ids = (assign_doc_ids(fresh)
+    # ids from the (small, checkpointed) fresh-url frame — assign_doc_ids
+    # reads only the url column, so handing it the page rows (the pre-r6
+    # shape) forced `fresh` to be materialized with its html payload even
+    # when nothing else needed it twice
+    new_ids = (assign_doc_ids(fresh_urls)
                .withColumn("doc_id", F.col("doc_id") + F.lit(base + 1))
                .localCheckpoint())
+    # widen: a 1-partition pages scan semi-joined against a broadcast url
+    # frame stays 1 partition, which would pin the tokenize stage to one
+    # task (guide §2.5; no-op at real scale)
+    from ..session import ensure_scan_parallelism
+    fresh = ensure_scan_parallelism(
+        new_pages.join(fresh_urls, "url", "left_semi"))
+    has_companions = (fsio.exists(spark, paths.pages_text)
+                      or fsio.exists(spark, paths.doc_meta)
+                      or fsio.exists(spark, paths.links))
+    if has_companions:
+        # multiple consumers re-read the html payload — materialize once
+        fresh = fresh.localCheckpoint()
     fsio.write_json(spark, intent, {"base": base, "n_new": n_new})
-    postings = postings_from_pages(fresh, new_ids).localCheckpoint()
-    n_postings = postings.count()
-    postings.write.mode("append").parquet(paths.postings)
+    # single tokenize pass straight into the append; the batch's row count
+    # is recovered from the written table by a footer-pruned scan of ids
+    # above the old high-water mark (the pre-r6 shape localCheckpoint'd
+    # the whole postings frame — positions and tags included — only to
+    # count it before writing)
+    postings_from_pages(fresh, new_ids) \
+        .write.mode("append").parquet(paths.postings)
+    n_postings = (spark.read.parquet(paths.postings)
+                  .filter(F.col("doc_id") > F.lit(base)).count())
     if fsio.exists(spark, paths.pages_text):
         # crashed companion rows were rolled back file-granularly above,
         # so plain appends are exact — no per-batch anti-join guard needed

@@ -138,3 +138,36 @@ def test_sequential_search_plan_is_aqe_free_and_pruned(spark, tiny_index):
     p = _plan(idx.search("haber spor", k=5))
     assert "AdaptiveSparkPlan" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_ntile_is_distributed_and_matches_window(spark):
+    """Round-6: the global-quartile query must NOT funnel every row
+    through one WindowExec task (no partition-less Window in the plan),
+    and its distributed rank arithmetic must reproduce F.ntile exactly —
+    checked on the fixture AND on a random frame with ties in the price
+    column (the tie-break key keeps the order total)."""
+    from pyspark.sql import Window
+
+    df = entry_mod.q_ntile_buckets(spark, SF)
+    assert "Window" not in _plan(df)
+    got = {(r["o_orderkey"], r["quartile"]) for r in df.collect()}
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ref = {(r["o_orderkey"], r["quartile"]) for r in
+           entry_mod._t(spark, SF, "orders")
+           .select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+           .collect()}
+    assert got == ref
+    # adversarial: n not divisible by 4, duplicate prices
+    rnd = spark.range(1003).select(
+        F.col("id").alias("o_orderkey"),
+        (F.pmod(F.xxhash64("id"), F.lit(97))).cast("double")
+        .alias("o_totalprice"))
+    import tempfile
+    d = tempfile.mkdtemp(prefix="ntile_t_")
+    rnd.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got2 = {(r["o_orderkey"], r["quartile"]) for r in
+            entry_mod.q_ntile_buckets(spark, d).collect()}
+    ref2 = {(r["o_orderkey"], r["quartile"]) for r in
+            rnd.select("o_orderkey",
+                       F.ntile(4).over(w).alias("quartile")).collect()}
+    assert got2 == ref2
