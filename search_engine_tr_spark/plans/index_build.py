@@ -79,6 +79,19 @@ class IndexPaths:
     def domain_scores(self) -> str: return os.path.join(self.root, "domain_scores")
 
 
+def read_postings(spark: SparkSession, postings_dir: str) -> DataFrame:
+    """Layout-agnostic postings read. The resumable builder writes under
+    ``chunk=N`` subdirectories while incremental ingest appends flat
+    files at the table root; partition INFERENCE on that mixed layout
+    silently drops the top-level files (found in optimization round 6 —
+    an appended batch became unsearchable after a resumable bootstrap).
+    ``recursiveFileLookup`` unions every file regardless of nesting and
+    skips the synthetic ``chunk`` directory column, which no reader uses.
+    """
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(postings_dir))
+
+
 def extract_pages(pages: DataFrame) -> DataFrame:
     """Fill the ``text`` column (byte-identical per url, input_hint)."""
     return pages.withColumn("text", extract_text_udf(F.col("html")))
@@ -406,10 +419,28 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
     from ..session import ensure_scan_parallelism
     pages = ensure_scan_parallelism(pages)
 
+    # pages_text depends only on the pages scan — run its extract+write in
+    # a driver thread CONCURRENT with the doc_map/postings chain (guide
+    # §2.6: overlap independent jobs so one job's task tail back-fills
+    # with the next job's tasks). Spark schedules concurrent jobs FIFO;
+    # errors propagate at the join below.
+    text_thread, text_err = None, []
     if write_text:
-        (pages.select("url", extract_text_udf(F.col("html")).alias("text"),
-                      "lang")
-         .write.mode("overwrite").parquet(paths.pages_text))
+        import threading
+
+        def _write_text() -> None:
+            try:
+                spark.sparkContext.setJobDescription("build: pages_text")
+                (pages.select("url",
+                              extract_text_udf(F.col("html")).alias("text"),
+                              "lang")
+                 .write.mode("overwrite").parquet(paths.pages_text))
+            except BaseException as e:  # re-raised on the main thread
+                text_err.append(e)
+
+        text_thread = threading.Thread(target=_write_text,
+                                       name="build-pages-text")
+        text_thread.start()
 
     doc_map = assign_doc_ids(pages)
     doc_map.write.mode("overwrite").parquet(paths.doc_map)
@@ -422,7 +453,12 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
 
     postings = postings_from_pages(pages, doc_map)
     postings.write.mode("overwrite").parquet(paths.postings)
-    postings = spark.read.parquet(paths.postings)
+    postings = read_postings(spark, paths.postings)
+
+    if text_thread is not None:
+        text_thread.join()
+        if text_err:
+            raise text_err[0]
 
     # doclens is derived (dl is packed into the blocks; the query path never
     # reads a doclens table) — cache instead of a write+read round-trip
@@ -488,7 +524,7 @@ def build_index(spark: SparkSession, pages: DataFrame, out_dir: str,
         "postings_per_sec": stats.total_postings / elapsed if elapsed else 0.0,
     }
     if collect_metrics:
-        p = spark.read.parquet(paths.postings)
+        p = read_postings(spark, paths.postings)
         metrics["skew_term_bucket"] = _skew_ratio(
             p.withColumn("term_bucket",
                          F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")),

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..plans import fsio
 from ..plans.docids import assign_doc_ids
 from ..plans.index_build import IndexPaths, occurrences_from_pages, \
-    postings_from_occurrences, postings_from_pages
+    postings_from_occurrences, postings_from_pages, read_postings
 
 
 def _intent_path(index_dir: str) -> str:
@@ -285,7 +285,7 @@ def _ingest_core(spark: SparkSession, new_pages: DataFrame, index_dir: str,
     # count it before writing)
     postings_from_pages(fresh, new_ids) \
         .write.mode("append").parquet(paths.postings)
-    n_postings = (spark.read.parquet(paths.postings)
+    n_postings = (read_postings(spark, paths.postings)
                   .filter(F.col("doc_id") > F.lit(base)).count())
     if fsio.exists(spark, paths.pages_text):
         # crashed companion rows were rolled back file-granularly above,
@@ -340,7 +340,7 @@ def rebuild_derived(spark: SparkSession, index_dir: str,
                           F.max("doc_id").alias("mx")).collect()[0]
     _dm_max = _dm_row["mx"]
     committed_max = -1 if _dm_max is None else int(_dm_max)
-    postings = (spark.read.parquet(paths.postings)
+    postings = (read_postings(spark, paths.postings)
                 .filter(F.col("doc_id") <= F.lit(committed_max)))
     doclens = doc_lengths(postings).cache()
     stats = corpus_stats(doclens)
@@ -437,7 +437,7 @@ def refresh_derived_delta(spark: SparkSession, index_dir: str) -> dict:
     # refresh_derived_delta call while an ingest intent is live would
     # absorb uncommitted docs that the ingest replay then rolls back and
     # re-appends, double-counting df and duplicating their blocks
-    delta = (spark.read.parquet(paths.postings)
+    delta = (read_postings(spark, paths.postings)
              .filter((F.col("doc_id") > dmax)
                      & (F.col("doc_id") <= F.lit(new_high))))
     doclens = doc_lengths(delta).localCheckpoint()
