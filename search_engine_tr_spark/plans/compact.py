@@ -76,11 +76,17 @@ def compact_parquet(spark: SparkSession, path: str, target_mb: int = 128,
         return {"files_before": files_before, "files_after": files_before,
                 "bytes": total, "skipped": True}
 
-    df = spark.read.parquet(path)
     if partition_by:
+        df = spark.read.parquet(path)
         writer = (df.repartition(n_out, *partition_by)
                   .write.mode("overwrite").partitionBy(*partition_by))
     else:
+        # recursiveFileLookup for layout-flat tables: partition INFERENCE
+        # on a mixed layout (resumable chunk=N subdirs + flat ingest
+        # appends) silently drops the flat files — compaction would LOSE
+        # them (same hazard as plans.index_build.read_postings)
+        df = (spark.read.option("recursiveFileLookup", "true")
+              .parquet(path))
         writer = df.repartition(n_out).write.mode("overwrite")
     writer.parquet(tmp)
 
