@@ -407,7 +407,7 @@ def refresh_derived_delta(spark: SparkSession, index_dir: str) -> dict:
     would double every touched term's df and score delta docs twice.
     """
     from ..plans.index_build import build_blocks
-    from ..plans.stats import doc_lengths, term_stats
+    from ..plans.stats import doc_lengths
 
     paths = IndexPaths(index_dir)
     meta = fsio.read_json(spark, paths.meta)
@@ -458,18 +458,23 @@ def refresh_derived_delta(spark: SparkSession, index_dir: str) -> dict:
     total = int(meta["total_postings"]) + int(row["tot"])
     avgdl = total / n_docs  # exactly what corpus_stats would compute
     fsio.write_json(spark, intent, {"dmax": dmax, "new_high": new_high})
-    ts_delta = (term_stats(delta)
-                .withColumn("term_bucket",
-                            F.pmod(F.xxhash64("term"),
-                                   F.lit(term_buckets)).cast("int"))
+    # pack the delta blocks ONCE (checkpoint: they are refresh-sized, not
+    # index-sized) and derive the delta term_stats FROM them — df =
+    # Σ block.n, the same single-pass consistency argument as
+    # build_index (round 6): one delta-postings scan instead of two, and
+    # the two delta tables can never disagree. Clustered by term_bucket:
+    # one delta file per touched bucket per refresh.
+    blocks = (build_blocks(delta, doclens, avgdl, n_shards, term_buckets)
+              .repartition("term_bucket").localCheckpoint())
+    blocks.write.mode("append").partitionBy("term_bucket") \
+        .parquet(paths.blocks)
+    ts_delta = (blocks
+                .groupBy("term", "term_bucket")
+                .agg(F.sum("n").cast("long").alias("df"))
+                .select("term", "df", "term_bucket")
                 .withColumn("gen", F.lit(new_high).cast("long")))
     ts_delta.write.mode("append").partitionBy("term_bucket") \
         .parquet(paths.term_stats)
-    blocks = build_blocks(delta, doclens, avgdl, n_shards, term_buckets)
-    # one delta file per touched bucket (see build_index's clustered write)
-    blocks.repartition("term_bucket") \
-        .write.mode("append").partitionBy("term_bucket") \
-        .parquet(paths.blocks)
     # COMMIT: the meta write publishes the new high-water mark; the intent
     # removal afterwards just re-arms the steady-state fast path
     meta.update({"n_docs": n_docs, "avgdl": avgdl,
