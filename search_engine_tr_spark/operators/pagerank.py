@@ -59,8 +59,15 @@ def pagerank(links: DataFrame, damping: float = 0.85, max_iter: int = 20,
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).cache()
-    edges = edges.repartition("src").cache()
+    # out_deg is a per-edge constant: attach it to the cached edge table
+    # once instead of re-joining it every iteration (round 6, guide §2.4)
+    edges = edges.join(out_deg, "src").repartition("src").cache()
     edges.count()
+    # the dangling-node SET is iteration-invariant (graph structure, not
+    # rank) — compute it once instead of left-joining the full out_deg
+    # table every iteration just to find its nulls (round 6, guide §2.4)
+    dangling = (nodes.join(out_deg, nodes["node"] == out_deg["src"],
+                           "left_anti").cache())
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(max_iter):
@@ -68,11 +75,9 @@ def pagerank(links: DataFrame, damping: float = 0.85, max_iter: int = 20,
         # no driver collect per iteration; arithmetic order matches the
         # previous literal form bit-for-bit:
         # ((1-d)/n + d*dangling/n) + d*in_mass
-        dang = (ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
-                .filter(F.col("out_deg").isNull())
+        dang = (ranks.join(dangling, "node", "left_semi")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")))
         contribs = (edges.join(ranks, edges["src"] == ranks["node"])
-                    .join(out_deg, "src")
                     .select(F.col("dst").alias("node"),
                             (F.col("rank") / F.col("out_deg")).alias("c")))
         summed = contribs.groupBy("node").agg(F.sum("c").alias("in_mass"))
