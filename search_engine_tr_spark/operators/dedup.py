@@ -154,7 +154,17 @@ def char_ngram_jaccard_pairs(df: DataFrame, n: int = 3,
 
 def _jaccard_pairs_from_units(toks: DataFrame, threshold: float,
                               max_token_df: int | None) -> DataFrame:
-    """Shared inverted-index Jaccard core over a (id, token) unit table."""
+    """Shared inverted-index Jaccard core over a (id, token) unit table.
+
+    The unit table is referenced up to six times in the plan (sizes, df
+    aggregate, two candidate sides, two intersection sides) but is NOT
+    checkpointed: a controlled 50k-doc A/B (round 6) measured the
+    materialization COSTLIER than the re-tokenizations it saves (warm
+    1.38 s -> 1.81 s) — the explode pipelines into each consumer's
+    shuffle write, so recomputation is cheap while materializing the
+    exploded token table (larger than its source text) is not. Contrast
+    ``minhash_lsh_pairs``/``simhash_near_pairs``, where the re-run work
+    is K aggregate passes per reference and checkpointing wins."""
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     if max_token_df is None:
         a = toks.select(F.col("id").alias("id_a"), "token")
@@ -405,6 +415,13 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
             "segment blocking would miss pairs (need n_segments > max_hamming)")
     if n_segments > n_bits:
         raise ValueError(f"n_segments={n_segments} > signature bits {n_bits}")
+    # NOT checkpointed despite the self-join referencing the signature
+    # pipeline on both sides: the sides are identical up to their shuffle
+    # Exchange and the whole operator is ONE action, so exchange reuse
+    # computes the aggregation once at runtime (a 50k-doc A/B measured a
+    # localCheckpoint here as a wash — round 6; contrast minhash, whose
+    # separate bucket-guard count action re-ran its pipeline across jobs,
+    # which reuse cannot span).
     sh = simhash(df, id_col, text_col, hash_kernel)
     seg = sh.select(
         "id", "simhash",
@@ -478,10 +495,15 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # self-join resolves for every non-root label
         c2 = cand.select(F.col("id").alias("_cid"),
                          F.col("comp").alias("_ccomp"))
+        # lazy checkpoint (round 6): the convergence count below is the
+        # round's action anyway — eager=False folds materialization into
+        # it, one pass over the labels per round instead of a checkpoint
+        # job plus a count job (the count scans every partition, so the
+        # whole frame is persisted as a side effect)
         staged = (cand.join(c2, cand["comp"] == c2["_cid"], "left")
                   .select("id", "_old",
                           F.least("comp", "_ccomp").alias("comp"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         changed = staged.filter(F.col("comp") != F.col("_old")).count()
         labels = staged.select("id", "comp")
         if changed == 0:
@@ -566,7 +588,10 @@ def dup_components_star(pairs: DataFrame, id_a: str = "id_a",
     cur, cur_sig = edges, sig(edges)
     converged = False
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        # lazy checkpoint (round 6): the signature aggregate is the
+        # round's action — eager=False folds the edge-set materialization
+        # into it (one pass per round, not checkpoint + aggregate)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         nxt_sig = sig(nxt)
         if nxt_sig == cur_sig:
             # w.h.p. the set is unchanged -> fixed point of both stars
@@ -582,7 +607,7 @@ def dup_components_star(pairs: DataFrame, id_a: str = "id_a",
                                      F.col("dst").alias("comp")),
                          "id", "left")
               .select("id", F.coalesce("comp", "id").alias("comp"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))  # materialized by the count
     # hard validation: exactly one label per node, and both endpoints of
     # every ORIGINAL pair agree (guards the probabilistic signature exit)
     if labels.count() != nodes.count():
